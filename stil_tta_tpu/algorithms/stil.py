@@ -1,0 +1,482 @@
+"""STiL: Semi-supervised Tabular-Image Learning (DCC + CGPL + PGLS).
+
+Parity target: ``/root/reference/models/Disentangle/STiLModel.py`` — the
+flagship algorithm. One fused jitted train step computes, on device:
+
+1. batch gather from the HBM dataset cache + on-device augmentation
+   (contrastive view w.p. ``augmentation_rate``, tabular corruption),
+2. EMAN teacher update + teacher forward (``:154-168, 249-258``),
+3. CGPL consensus cases over the three teacher heads (``:262-274``),
+4. PGLS prototype blending + confidence masks (``:291-303``),
+5. student forward + the full loss graph: labeled CE on 3 heads, masked
+   unlabeled CE with case routing, ITC (CLIP), CLUB MI + estimator
+   likelihood, prototype loss (``:284-345``),
+6. Adam update, prototype sum/count accumulation (``:374-381``) and
+   streaming train metrics.
+
+The reference needs ~3 backbone passes per step (student l+u, teacher
+l+u) plus a CPU augmentation farm; here everything is one XLA program
+with the augmentation riding the MXU/VPU ahead of the encoders.
+
+Cross-replica notes (SURVEY.md §2.7): prototype sums, DA means, and BN
+batch stats are plain jnp reductions over the (data-sharded) batch axis,
+so GSPMD compiles them to ICI all-reduces — the reference's
+``dist.all_reduce`` calls with no explicit collectives in algorithm code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import flax.struct
+import numpy as np
+
+from stil_tta_tpu.algorithms.base import (DAState, TrainState,
+                                          distribution_alignment,
+                                          ema_update, sharpen)
+from stil_tta_tpu.data.augment import (AugmentPipeline, contrastive_pipeline,
+                                       default_pipeline)
+from stil_tta_tpu.data.corrupt import corrupt_tabular
+from stil_tta_tpu.data.loader import gather_batch
+from stil_tta_tpu.losses import (club_losses, clip_loss, cross_entropy,
+                                 prototype_loss, soft_cross_entropy)
+from stil_tta_tpu.losses.club import CLUBMean
+from stil_tta_tpu.models.backbones import DisCoBackbone
+from stil_tta_tpu.models.layers import SimCLRProjectionHead
+from stil_tta_tpu.ops.metrics import (AccuracyState, accuracy_init,
+                                      accuracy_update)
+from stil_tta_tpu.train.optim import build_optimizer
+
+
+def _l2norm(x):
+    x = x.astype(jnp.float32)
+    return x / jnp.clip(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+class STiLNet(nn.Module):
+    """Backbone + ITC projectors + CLUB estimators in one param tree
+    (mirrors the reference's module graph: backbone ``STiLModel.py:34``,
+    projectors ``:56-64``, CLUB heads ``:67-68``)."""
+
+    encoder: str
+    field_lengths: Tuple[int, ...]
+    num_classes: int
+    target: str = "dvm"
+    projection_dim: int = 128
+    tabular_embedding_dim: int = 512
+    multimodal_embedding_dim: int = 512
+    tabular_num_layers: int = 4
+    multimodal_num_layers: int = 1
+    embedding_dropout: float = 0.0
+    drop_rate: float = 0.0
+    tabular_encoder: str = "transformer"
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        hid = self.multimodal_embedding_dim
+        self.backbone = DisCoBackbone(
+            model=self.encoder, field_lengths=self.field_lengths,
+            num_classes=self.num_classes,
+            tabular_embedding_dim=self.tabular_embedding_dim,
+            multimodal_embedding_dim=hid,
+            tabular_num_layers=self.tabular_num_layers,
+            multimodal_num_layers=self.multimodal_num_layers,
+            embedding_dropout=self.embedding_dropout,
+            drop_rate=self.drop_rate,
+            tabular_encoder=self.tabular_encoder, dtype=self.dtype)
+        self.projector_multimodal = SimCLRProjectionHead(
+            hid * 3, self.projection_dim, dtype=self.dtype)
+        if self.target == "dvm":
+            # DVM uses linear ITC heads (``STiLModel.py:57-60``)
+            self.projector_imaging = nn.Dense(self.projection_dim,
+                                              param_dtype=jnp.float32)
+            self.projector_tabular = nn.Dense(self.projection_dim,
+                                              param_dtype=jnp.float32)
+        else:
+            self.projector_imaging = SimCLRProjectionHead(
+                hid, self.projection_dim, dtype=self.dtype)
+            self.projector_tabular = SimCLRProjectionHead(
+                hid, self.projection_dim, dtype=self.dtype)
+        self.club_imaging = CLUBMean(hid)
+        self.club_tabular = CLUBMean(hid)
+
+    def __call__(self, image, tabular, train: bool = False,
+                 missing_mask=None) -> Dict[str, jax.Array]:
+        out = self.backbone(image, tabular, train=train,
+                            missing_mask=missing_mask)
+        feat_m_raw = jnp.concatenate(
+            [out["x_si_enhance"], out["x_c"], out["x_st_enhance"]], axis=1)
+        out["feat_m"] = _l2norm(self.projector_multimodal(feat_m_raw))
+        out["feat_i"] = _l2norm(self.projector_imaging(out["x_ai"]))
+        out["feat_t"] = _l2norm(self.projector_tabular(out["x_at"]))
+        out["mu_i"] = self.club_imaging(out["x_si"])
+        out["mu_t"] = self.club_tabular(out["x_st"])
+        return out
+
+    def teacher(self, image, tabular) -> Dict[str, jax.Array]:
+        """EMA forward: backbone (EMA weights) + multimodal projector
+        (student weights — the reference EMA copies only the backbone,
+        ``STiLModel.py:88, 252-254``)."""
+        out = self.backbone(image, tabular, train=False)
+        feat_m_raw = jnp.concatenate(
+            [out["x_si_enhance"], out["x_c"], out["x_st_enhance"]], axis=1)
+        return {
+            "out_m": out["out_m"], "out_i": out["out_i"],
+            "out_t": out["out_t"],
+            "feat_m": _l2norm(self.projector_multimodal(feat_m_raw)),
+        }
+
+
+@flax.struct.dataclass
+class STiLState(TrainState):
+    prototypes: jax.Array = None       # (C, P)
+    prototypes_sum: jax.Array = None
+    prototypes_count: jax.Array = None  # (C, 1)
+    da: Optional[DAState] = None
+    acc_train: AccuracyState = None
+    acc_train_u: AccuracyState = None
+    log_sums: Dict[str, jax.Array] = None
+    log_count: jax.Array = None
+
+
+LOG_KEYS = (
+    "CEloss", "CEloss_unlabelled_m", "CEloss_unlabelled_i",
+    "CEloss_unlabelled_t", "threshold1_ratio", "case1_ratio",
+    "case2_i_ratio", "case2_t_ratio", "case3_ratio", "ITCloss",
+    "CLUBloss_imaging", "CLUBloss_imaging_est", "CLUBloss_tabular",
+    "CLUBloss_tabular_est", "PTloss", "loss",
+)
+
+
+class STiL:
+    """Host-side orchestrator building the jitted steps.
+
+    cfg keys consumed (names mirror ``config_dvm_STiL.yaml``): alpha,
+    beta, gamma, rate_pt, rate_uce, th1, temperature, lambda_0,
+    rate_pseudo, start_epoch, repeat_ratio, use_ema, eman, ema_momentum,
+    DA, augmentation_rate, corruption_rate, crop_scale_lower, img_size,
+    projection_dim, num_classes, target, model/models, lr_eval,
+    weight_decay_eval.
+    """
+
+    name = "STiL"
+    tabular_encoder = "transformer"
+
+    def __init__(self, cfg, field_lengths, dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.num_classes = int(cfg.num_classes)
+        self.net = STiLNet(
+            encoder=cfg.model,
+            field_lengths=tuple(int(x) for x in field_lengths),
+            num_classes=self.num_classes,
+            target=cfg.target,
+            projection_dim=int(cfg.projection_dim),
+            tabular_embedding_dim=int(cfg.tabular_embedding_dim),
+            multimodal_embedding_dim=int(cfg.multimodal_embedding_dim),
+            tabular_num_layers=int(cfg.tabular_transformer_num_layers),
+            multimodal_num_layers=int(cfg.multimodal_transformer_num_layers),
+            embedding_dropout=float(cfg.embedding_dropout or 0.0),
+            drop_rate=float(cfg.drop_rate or 0.0),
+            tabular_encoder=self.tabular_encoder,
+            dtype=dtype)
+        self.tx = build_optimizer(float(cfg.lr_eval),
+                                  float(cfg.weight_decay_eval or 0.0))
+        target = cfg.target
+        img_size = int(cfg.img_size)
+        self.aug_train = contrastive_pipeline(
+            img_size, target, float(cfg.crop_scale_lower or 0.08))
+        self.aug_eval = default_pipeline(img_size, target)
+        self.use_ema = bool(cfg.use_ema)
+        self.eman = bool(cfg.eman)
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng, sample_image, sample_tabular) -> STiLState:
+        variables = self.net.init(
+            {"params": rng, "dropout": rng}, sample_image, sample_tabular,
+            train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        pdim = int(self.cfg.projection_dim)
+        c = self.num_classes
+        ema_p = jax.tree_util.tree_map(jnp.array, params["backbone"]) \
+            if self.use_ema else None
+        ema_bs = jax.tree_util.tree_map(jnp.array,
+                                        batch_stats.get("backbone", {})) \
+            if self.use_ema else None
+        da = DAState.create(c) if self.cfg.DA else None
+        return STiLState(
+            params=params, batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            ema_params=ema_p, ema_batch_stats=ema_bs,
+            rng=rng, step=jnp.zeros((), jnp.int32),
+            prototypes=jnp.zeros((c, pdim), jnp.float32),
+            prototypes_sum=jnp.zeros((c, pdim), jnp.float32),
+            prototypes_count=jnp.zeros((c, 1), jnp.float32),
+            da=da,
+            acc_train=accuracy_init(), acc_train_u=accuracy_init(),
+            log_sums={k: jnp.zeros((), jnp.float32) for k in LOG_KEYS},
+            log_count=jnp.zeros((), jnp.float32),
+        )
+
+    # ------------------------------------------------------------------
+    def _views(self, rng, imgs_l, tabs_l, imgs_u, tabs_u, marg_l, marg_u):
+        """Augmented image view + corrupted tabular view per stream
+        (``ContrastiveImagingAndTabularDataset.__getitem__``: view[1] is
+        transformed w.p. augmentation_rate; tabular view[1] corrupted at
+        corruption_rate)."""
+        cfg = self.cfg
+        k = jax.random.split(rng, 4)
+        rate = float(cfg.augmentation_rate)
+        crate = float(cfg.corruption_rate)
+        img_l = self.aug_train(k[0], imgs_l, apply_rate=rate)
+        img_u = self.aug_train(k[1], imgs_u, apply_rate=rate)
+        tab_l = corrupt_tabular(k[2], tabs_l, marg_l, crate)
+        tab_u = corrupt_tabular(k[3], tabs_u, marg_u, crate)
+        return img_l, tab_l, img_u, tab_u
+
+    # ------------------------------------------------------------------
+    def make_train_step(self):
+        cfg = self.cfg
+        net = self.net
+        tx = self.tx
+        c = self.num_classes
+        alpha, beta, gamma = float(cfg.alpha), float(cfg.beta), float(cfg.gamma)
+        rate_pt, rate_uce = float(cfg.rate_pt), float(cfg.rate_uce)
+        th1, temp = float(cfg.th1), float(cfg.temperature)
+        lam0 = float(cfg.lambda_0)
+        rate_pseudo = float(cfg.rate_pseudo)
+        start_epoch = int(cfg.start_epoch)
+        repeat_ratio = float(cfg.repeat_ratio or 1.0)
+        momentum = float(cfg.ema_momentum)
+        use_ema, eman, use_da = self.use_ema, self.eman, bool(cfg.DA)
+        binary = c == 2
+
+        def cal_prototypes(label, feat):
+            """``STiLModel.py:199-226``; labeled sums scaled 1/repeat."""
+            max_prob = jnp.max(label, axis=1)
+            conf = (max_prob >= th1).astype(jnp.float32)[:, None]
+            hard = jax.nn.one_hot(jnp.argmax(label, axis=1), c) * conf
+            return hard.T @ feat, jnp.sum(hard, axis=0)[:, None]
+
+        def step(state: STiLState, cache_l, cache_u, idx_l, idx_u,
+                 epoch: jax.Array):
+            rng, k_views, k_drop, k_case3 = jax.random.split(state.rng, 4)
+            bl = gather_batch(cache_l, idx_l)
+            bu = gather_batch(cache_u, idx_u)
+            y_l, y_u = bl["labels"], bu["labels"]
+            b_l, b_u = y_l.shape[0], y_u.shape[0]
+
+            img_l, tab_l, img_u, tab_u = self._views(
+                k_views, bl["images"], bl["tabular"], bu["images"],
+                bu["tabular"], cache_l["tabular"], cache_u["tabular"])
+            images = jnp.concatenate([img_l, img_u], axis=0)
+            tabs = jnp.concatenate([tab_l, tab_u], axis=0)
+
+            # ---- EMAN teacher update THEN teacher forward (:249-258)
+            if use_ema:
+                ema_p, ema_bs = ema_update(
+                    state.ema_params, state.params["backbone"], momentum,
+                    eman, state.ema_batch_stats,
+                    state.batch_stats.get("backbone", {}))
+                t_params = dict(state.params)
+                t_params["backbone"] = ema_p
+                t_stats = dict(state.batch_stats)
+                t_stats["backbone"] = ema_bs
+                tout = net.apply({"params": t_params,
+                                  "batch_stats": t_stats},
+                                 images, tabs, method=STiLNet.teacher)
+            else:
+                ema_p, ema_bs = state.ema_params, state.ema_batch_stats
+                tout = net.apply({"params": state.params,
+                                  "batch_stats": state.batch_stats},
+                                 images, tabs, method=STiLNet.teacher)
+            tout = jax.lax.stop_gradient(tout)
+            feat_m_le = tout["feat_m"][:b_l]
+            feat_m_ue = tout["feat_m"][b_l:]
+            yh_m_ue = tout["out_m"][b_l:]
+            yh_i_ue = tout["out_i"][b_l:]
+            yh_t_ue = tout["out_t"][b_l:]
+
+            # ---- CGPL case identification (:262-274)
+            top_m = jnp.argmax(yh_m_ue, axis=1)
+            top_i = jnp.argmax(yh_i_ue, axis=1)
+            top_t = jnp.argmax(yh_t_ue, axis=1)
+            case1 = (top_m == top_i) & (top_m == top_t)
+            case2_i = (top_m == top_i) & (top_m != top_t)
+            case2_t = (top_m == top_t) & (top_m != top_i)
+            case3 = ~(case1 | case2_i | case2_t)
+            f = lambda m: m.astype(jnp.float32)
+            pl1 = sharpen((yh_m_ue + yh_i_ue + yh_t_ue) / 3.0, 1.0)
+            pl2i = sharpen((yh_m_ue + yh_i_ue) / 2.0, 1.0)
+            pl2t = sharpen((yh_m_ue + yh_t_ue) / 2.0, 1.0)
+            pl3 = sharpen(yh_m_ue, 1.0)
+            pseudo_orig = (f(case1)[:, None] * pl1 + f(case2_i)[:, None] * pl2i
+                           + f(case2_t)[:, None] * pl2t
+                           + f(case3)[:, None] * pl3)
+            if use_da:
+                da, prediction = distribution_alignment(
+                    state.da, jax.nn.softmax(yh_m_ue, axis=1))
+            else:
+                da, prediction = state.da, sharpen(yh_m_ue, 1.0)
+
+            # ---- PGLS blending (:291-303)
+            prototypes = state.prototypes
+            teacher_probs = jax.nn.softmax(
+                (feat_m_ue @ prototypes.T) / temp, axis=1)
+            pseudo_label = (rate_pseudo * pseudo_orig
+                            + (1 - rate_pseudo) * teacher_probs)
+            prediction = (rate_pseudo * prediction
+                          + (1 - rate_pseudo) * teacher_probs)
+            mask1 = f(jnp.max(prediction, axis=1) >= th1)
+            mask_rand = f(jax.random.uniform(k_case3, (b_u,)) >= 0.5)
+
+            # prediction participates in prototype/PT targets only after
+            # start_epoch (:317-321)
+            use_pseudo = f(epoch > start_epoch)
+            prediction_gated = prediction * use_pseudo
+            pseudo_label_all = jnp.concatenate(
+                [jax.nn.one_hot(y_l, c, dtype=jnp.float32),
+                 prediction_gated], axis=0)
+
+            # ---- student forward + losses
+            def loss_fn(params):
+                outs, mut = net.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images, tabs, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": k_drop})
+                yh_m, yh_i, yh_t = outs["out_m"], outs["out_i"], outs["out_t"]
+                loss_ce = (cross_entropy(yh_m[:b_l], y_l)
+                           + cross_entropy(yh_i[:b_l], y_l)
+                           + cross_entropy(yh_t[:b_l], y_l))
+                loss_m_u = jnp.mean(
+                    soft_cross_entropy(yh_m[b_l:], pseudo_label, "none")
+                    * mask1 * f(case1))
+                loss_i_u = jnp.mean(
+                    soft_cross_entropy(yh_i[b_l:], pseudo_label, "none")
+                    * mask1 * (f(case1) + f(case2_t) + f(case3) * mask_rand))
+                loss_t_u = jnp.mean(
+                    soft_cross_entropy(yh_t[b_l:], pseudo_label, "none")
+                    * mask1 * (f(case1) + f(case2_i)
+                               + f(case3) * (1 - mask_rand)))
+                loss_itc, _, _ = clip_loss(outs["feat_i"], outs["feat_t"],
+                                           temp, lam0)
+                club_i, club_i_est = club_losses(outs["mu_i"], outs["x_ai"])
+                club_t, club_t_est = club_losses(outs["mu_t"], outs["x_at"])
+                loss_pt = prototype_loss(pseudo_label_all, prototypes,
+                                         outs["feat_m"], temp, th1)
+                base = (alpha * loss_ce + beta * loss_itc
+                        + gamma * (club_i + club_i_est
+                                   + club_t + club_t_est))
+                extra = (rate_pt * loss_pt
+                         + rate_uce * (loss_m_u + loss_i_u + loss_t_u))
+                total = base + use_pseudo * extra
+                logs = {
+                    "CEloss": loss_ce, "CEloss_unlabelled_m": loss_m_u,
+                    "CEloss_unlabelled_i": loss_i_u,
+                    "CEloss_unlabelled_t": loss_t_u,
+                    "threshold1_ratio": jnp.mean(mask1),
+                    "case1_ratio": jnp.mean(f(case1)),
+                    "case2_i_ratio": jnp.mean(f(case2_i)),
+                    "case2_t_ratio": jnp.mean(f(case2_t)),
+                    "case3_ratio": jnp.mean(f(case3)),
+                    "ITCloss": loss_itc,
+                    "CLUBloss_imaging": club_i,
+                    "CLUBloss_imaging_est": club_i_est,
+                    "CLUBloss_tabular": club_t,
+                    "CLUBloss_tabular_est": club_t_est,
+                    "PTloss": loss_pt, "loss": total,
+                }
+                return total, (mut["batch_stats"], outs["out_m"], logs)
+
+            grads, (new_stats, yh_m, logs) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates)
+
+            # ---- prototype accumulation (:374-381): teacher features,
+            # labeled terms scaled by 1/repeat_ratio
+            sum_l, cnt_l = cal_prototypes(pseudo_label_all[:b_l], feat_m_le)
+            sum_u, cnt_u = cal_prototypes(pseudo_label_all[b_l:], feat_m_ue)
+            proto_sum = state.prototypes_sum + sum_l / repeat_ratio + sum_u
+            proto_cnt = state.prototypes_count + cnt_l / repeat_ratio + cnt_u
+
+            # ---- streaming metrics (:359-362)
+            prob_m = jax.nn.softmax(yh_m, axis=1)
+            pm_l, pm_u = prob_m[:b_l], prob_m[b_l:]
+            if binary:
+                pm_l, pm_u = pm_l[:, 1], pm_u[:, 1]
+            acc = accuracy_update(state.acc_train, pm_l, y_l)
+            acc_u = accuracy_update(state.acc_train_u, pm_u, y_u)
+
+            new_logs = {k: state.log_sums[k] + logs[k] for k in LOG_KEYS}
+            return dataclasses.replace(
+                state, params=new_params, batch_stats=new_stats,
+                opt_state=new_opt, ema_params=ema_p,
+                ema_batch_stats=ema_bs, rng=rng, step=state.step + 1,
+                prototypes_sum=proto_sum, prototypes_count=proto_cnt,
+                da=da, acc_train=acc, acc_train_u=acc_u,
+                log_sums=new_logs, log_count=state.log_count + 1.0)
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def epoch_end(self, state: STiLState):
+        """Prototype normalisation (``STiLModel.py:408-415``); asserts
+        every class received at least one confident sample."""
+        count = np.asarray(state.prototypes_count)
+        assert (count >= 1).all(), (
+            f"classes with no prototype mass this epoch: "
+            f"{np.where(count[:, 0] < 1)[0].tolist()}")
+        protos = jnp.asarray(state.prototypes_sum) / jnp.asarray(count)
+        logs = {k: float(v) / max(float(state.log_count), 1.0)
+                for k, v in state.log_sums.items()}
+        logs["eval.train.acc"] = float(state.acc_train.correct
+                                       / np.maximum(state.acc_train.total, 1))
+        logs["eval.train_unlabelled.acc"] = float(
+            state.acc_train_u.correct / np.maximum(state.acc_train_u.total, 1))
+        c = state.prototypes.shape[0]
+        pdim = state.prototypes.shape[1]
+        state = dataclasses.replace(
+            state, prototypes=protos,
+            prototypes_sum=jnp.zeros((c, pdim), jnp.float32),
+            prototypes_count=jnp.zeros((c, 1), jnp.float32),
+            acc_train=accuracy_init(), acc_train_u=accuracy_init(),
+            log_sums={k: jnp.zeros((), jnp.float32) for k in LOG_KEYS},
+            log_count=jnp.zeros((), jnp.float32))
+        return state, logs
+
+    # ------------------------------------------------------------------
+    def make_eval_step(self):
+        """Validation forward (``STiLModel.py:424-474``): resize-only
+        images, clean tabular, multimodal/imaging/tabular heads."""
+        net = self.net
+        aug = self.aug_eval
+
+        def step(params, batch_stats, images, tabular):
+            imgs = aug(jax.random.key(0), images)  # deterministic resize
+            outs = net.apply({"params": params, "batch_stats": batch_stats},
+                             imgs, tabular, train=False)
+            return {
+                "prob_m": jax.nn.softmax(outs["out_m"], axis=1),
+                "prob_i": jax.nn.softmax(outs["out_i"], axis=1),
+                "prob_t": jax.nn.softmax(outs["out_t"], axis=1),
+                "feat_i": outs["feat_i"], "feat_t": outs["feat_t"],
+            }
+
+        return jax.jit(step)
+
+
+class STiL_SAINT(STiL):
+    """STiL with the SAINT tabular encoder
+    (``/root/reference/models/Disentangle/STiLModel_SAINT.py`` — logic
+    identical to STiL per SURVEY.md §2.5; backbone swap only)."""
+
+    name = "STiL_SAINT"
+    tabular_encoder = "saint"

@@ -1,0 +1,57 @@
+"""Dataset assembly from config.
+
+Maps the reference's dataset-config surface (SURVEY.md §2.2 artifact
+contract; ``configs/dataset/*.yaml``) onto :class:`ArraySource` splits.
+Two modes:
+
+- native artifact directories (produced by
+  ``tools/convert_torch_artifacts.py``): ``{data_base}/train_labelled``,
+  ``train_unlabelled``, ``val``, ``test`` or explicit per-split keys
+  (``data_train_labelled`` etc.),
+- ``synthetic: true`` — class-conditional synthetic data for tests,
+  smoke runs and the benchmark harness (sizes via ``synthetic_*`` keys).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict
+
+from stil_tta_tpu.data.source import ArraySource, synthetic_source
+
+SPLITS = ("train_labelled", "train_unlabelled", "val", "test")
+
+
+def load_sources(cfg) -> Dict[str, ArraySource]:
+    if cfg.synthetic:
+        n_l = int(cfg.synthetic_labelled or 64)
+        n_u = int(cfg.synthetic_unlabelled or 448)
+        n_v = int(cfg.synthetic_val or 128)
+        n_t = int(cfg.synthetic_test or 128)
+        nc = int(cfg.num_classes or 8)
+        size = int(cfg.synthetic_image_size or cfg.img_size or 64)
+        fl = cfg.field_lengths
+        target = cfg.target or "dvm"
+        mk = lambda n, frac, seed: synthetic_source(
+            n, num_classes=nc, field_lengths=fl, image_size=size,
+            labelled_frac=frac, target=target, seed=seed)
+        return {"train_labelled": mk(n_l, 1.0, 0),
+                "train_unlabelled": mk(n_u, 0.0, 1),
+                "val": mk(n_v, 1.0, 2), "test": mk(n_t, 1.0, 3)}
+
+    base = Path(cfg.data_base or ".")
+    out = {}
+    for split in SPLITS:
+        key = f"data_{split}"
+        path = cfg.get(key) or (base / split)
+        out[split] = ArraySource.load(path)
+    return out
+
+
+def apply_sweep_truncation(sources: Dict[str, ArraySource],
+                           cfg) -> Dict[str, ArraySource]:
+    """``sweep``/``unit_test`` truncation to <= 5000 samples
+    (``ContrastiveImagingAndTabularDataset.py:104-111``)."""
+    if cfg.sweep or cfg.unit_test:
+        return {k: v.truncate(5000) for k, v in sources.items()}
+    return sources

@@ -1,0 +1,152 @@
+"""Input pipeline: epoch samplers + device-resident dataset cache.
+
+The reference feeds the GPU from 10 persistent CPU dataloader workers
+doing decode + albumentations per sample (``trainers/evaluate.py:86-88``,
+``config_dvm_STiL.yaml:31``). A TPU VM host (1 core here) cannot do
+that — so the pipeline is inverted:
+
+- :class:`DeviceCache` stages the whole split's raw arrays in HBM once
+  (uint8 images are small: 70k DVM images @128^2 ~= 3.4 GB). Batches are
+  then pure device-side gathers by index *inside* the jitted train step;
+  the host only streams int32 index vectors.
+- :class:`EpochSampler` reproduces the loaders' epoch semantics:
+  shuffling, drop-last, and the dual labeled/unlabeled stream where the
+  labeled loader cycles while the unlabeled loader defines the epoch
+  (PL's combined-loader behavior, SURVEY.md §3.1 and
+  ``evaluate.py:83-88``: l_batch = batch_size // (1 + unlabelled_ratio)).
+- :class:`HostStream` is the fallback for splits too large for HBM:
+  batches are sliced from host memmaps and double-buffered onto the
+  device with an async background thread.
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stil_tta_tpu.data.source import ArraySource
+
+
+class EpochSampler:
+    """Shuffled epoch index batches (np.int32), padded or dropped."""
+
+    def __init__(self, n: int, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = False, seed: int = 0):
+        self.n = n
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+
+    def steps_per_epoch(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self) -> Iterator[tuple]:
+        """Yields (idx (B,), weight (B,)) — weight 0 marks padding."""
+        order = (self.rng.permutation(self.n) if self.shuffle
+                 else np.arange(self.n))
+        bs = self.batch_size
+        limit = (self.n // bs) * bs if self.drop_last else self.n
+        for start in range(0, limit, bs):
+            chunk = order[start:start + bs]
+            w = np.ones(len(chunk), np.float32)
+            if len(chunk) < bs:  # pad to static shape
+                pad = bs - len(chunk)
+                chunk = np.concatenate([chunk, chunk[:1].repeat(pad)])
+                w = np.concatenate([w, np.zeros(pad, np.float32)])
+            yield chunk.astype(np.int32), w
+
+
+class CyclingSampler:
+    """Infinite shuffled stream for the labeled loader, which is much
+    shorter than the unlabeled epoch and cycles (SURVEY.md §6 hard part
+    'dual-loader cycling')."""
+
+    def __init__(self, n: int, batch_size: int, seed: int = 0):
+        self.sampler = EpochSampler(n, batch_size, shuffle=True,
+                                    drop_last=False, seed=seed)
+        self._it = self.sampler.epoch()
+
+    def next(self) -> tuple:
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = self.sampler.epoch()
+            return next(self._it)
+
+
+class DeviceCache:
+    """Split staged in HBM; index-gather happens inside jit."""
+
+    def __init__(self, source: ArraySource, sharding=None):
+        put = (lambda x: jax.device_put(x, sharding)) if sharding \
+            else jax.device_put
+        self.images = put(np.asarray(source.images))
+        self.tabular = put(np.asarray(source.tabular, np.float32))
+        self.labels = put(np.asarray(source.labels, np.int32))
+        self.labelled = put(np.asarray(source.labelled))
+        self.n = len(source)
+
+    def as_dict(self):
+        return {"images": self.images, "tabular": self.tabular,
+                "labels": self.labels, "labelled": self.labelled}
+
+
+def gather_batch(cache: dict, idx: jax.Array) -> dict:
+    """Device-side batch assembly (call inside jit)."""
+    return {
+        "images": jnp.take(cache["images"], idx, axis=0),
+        "tabular": jnp.take(cache["tabular"], idx, axis=0),
+        "labels": jnp.take(cache["labels"], idx, axis=0),
+        "labelled": jnp.take(cache["labelled"], idx, axis=0),
+    }
+
+
+class HostStream:
+    """Fallback for > HBM datasets: host gathers batch slices from
+    memmaps, a worker thread keeps `depth` batches in flight on device."""
+
+    def __init__(self, source: ArraySource, sampler: EpochSampler,
+                 depth: int = 2, sharding=None):
+        self.source = source
+        self.sampler = sampler
+        self.depth = depth
+        self.sharding = sharding
+
+    def _assemble(self, idx: np.ndarray, w: np.ndarray) -> dict:
+        batch = {
+            "images": np.asarray(self.source.images[idx]),
+            "tabular": self.source.tabular[idx],
+            "labels": self.source.labels[idx].astype(np.int32),
+            "labelled": self.source.labelled[idx],
+            "weight": w,
+        }
+        if self.sharding is not None:
+            return {k: jax.device_put(v, self.sharding)
+                    for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    def epoch(self) -> Iterator[dict]:
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.depth)
+        stop = object()
+
+        def worker():
+            for idx, w in self.sampler.epoch():
+                q.put(self._assemble(idx, w))
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,28 @@
+"""Symmetric InfoNCE (CLIP) loss.
+
+Parity target: ``/root/reference/utils/clip_loss.py:6-40``: L2-normalize
+both embeddings, cosine-similarity logits / temperature, CE against the
+diagonal in both directions weighted lambda_0 / (1 - lambda_0).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from stil_tta_tpu.losses.common import cross_entropy
+
+
+def clip_loss(out0: jax.Array, out1: jax.Array, temperature: float,
+              lambda_0: float = 0.5):
+    out0 = out0.astype(jnp.float32)
+    out1 = out1.astype(jnp.float32)
+    out0 = out0 / jnp.clip(jnp.linalg.norm(out0, axis=1, keepdims=True),
+                           1e-12)
+    out1 = out1 / jnp.clip(jnp.linalg.norm(out1, axis=1, keepdims=True),
+                           1e-12)
+    logits = (out0 @ out1.T) / temperature
+    labels = jnp.arange(out0.shape[0])
+    loss = (lambda_0 * cross_entropy(logits, labels)
+            + (1.0 - lambda_0) * cross_entropy(logits.T, labels))
+    return loss, logits, labels

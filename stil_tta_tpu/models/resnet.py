@@ -1,0 +1,208 @@
+"""TPU-native ResNet family (Flax).
+
+Functional parity target: the vendored torchvision-style ResNet of the
+reference (``/root/reference/models/resnets.py:135-269``): conv1 7x7/2,
+BN, ReLU, maxpool 3x3/2, four stages of BasicBlock/Bottleneck, and either
+``return_all_feature_maps`` -> [x0..x4] (``resnets.py:254-260``) or a
+single pooled feature [x0] (``resnets.py:261-269``).
+
+TPU-first design choices (not a translation):
+- NHWC layout throughout (XLA's native conv layout on TPU).
+- bf16 activations / f32 params + f32 BN statistics: convs hit the MXU at
+  full rate while keeping torchvision-compatible numerics for parity
+  checks at eval.
+- BatchNorm running stats follow torch semantics (momentum 0.1 on the
+  *new* value, eps 1e-5), so converted torch checkpoints evaluate
+  identically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+ModuleDef = Any
+
+# torch nn.BatchNorm2d: running = (1-0.1)*running + 0.1*batch  -> flax momentum=0.9
+BN = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5,
+             param_dtype=jnp.float32)
+
+
+def torch_kaiming_conv_init(key, shape, dtype=jnp.float32):
+    """kaiming_normal_(mode='fan_out', nonlinearity='relu') as in
+    ``resnets.py:195-197``. Flax conv kernels are (kh, kw, cin, cout); torch
+    fan_out = cout * kh * kw."""
+    fan_out = shape[-1] * shape[0] * shape[1]
+    std = jnp.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+Conv = partial(nn.Conv, use_bias=False, kernel_init=torch_kaiming_conv_init,
+               param_dtype=jnp.float32)
+
+
+class BasicBlock(nn.Module):
+    """``resnets.py:50-88``."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.bfloat16
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        out = Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                   dtype=self.dtype, name="conv1")(x)
+        out = BN(use_running_average=not train, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = Conv(self.planes, (3, 3), padding=1, dtype=self.dtype,
+                   name="conv2")(out)
+        out = BN(use_running_average=not train, dtype=self.dtype, name="bn2")(out)
+        if self.downsample:
+            identity = Conv(self.planes, (1, 1), strides=self.stride,
+                            dtype=self.dtype, name="downsample_conv")(x)
+            identity = BN(use_running_average=not train, dtype=self.dtype,
+                          name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """``resnets.py:91-132`` (torchvision v1.5: stride on the 3x3 conv)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dtype: Any = jnp.bfloat16
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        identity = x
+        out = Conv(width, (1, 1), dtype=self.dtype, name="conv1")(x)
+        out = BN(use_running_average=not train, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = Conv(width, (3, 3), strides=self.stride, padding=1,
+                   feature_group_count=self.groups, dtype=self.dtype,
+                   name="conv2")(out)
+        out = BN(use_running_average=not train, dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = Conv(self.planes * self.expansion, (1, 1), dtype=self.dtype,
+                   name="conv3")(out)
+        out = BN(use_running_average=not train, dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            identity = Conv(self.planes * self.expansion, (1, 1),
+                            strides=self.stride, dtype=self.dtype,
+                            name="downsample_conv")(x)
+            identity = BN(use_running_average=not train, dtype=self.dtype,
+                          name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """NHWC ResNet with the reference's dual output contract.
+
+    ``__call__`` returns a list: ``[x0..x4]`` feature maps when
+    ``return_all_feature_maps`` (``resnets.py:254-260``) else ``[pooled]``
+    (``resnets.py:261-269``). Inputs are (B, H, W, 3) float.
+    """
+
+    block: ModuleDef
+    layers: Sequence[int]
+    return_all_feature_maps: bool = False
+    groups: int = 1
+    width_per_group: int = 64
+    first_conv: bool = True
+    maxpool1: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        if self.first_conv:
+            x = Conv(64, (7, 7), strides=2, padding=3, dtype=self.dtype,
+                     name="conv1")(x)
+        else:
+            x = Conv(64, (3, 3), strides=1, padding=1, dtype=self.dtype,
+                     name="conv1")(x)
+        x = BN(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
+        x0 = nn.relu(x)
+        if self.maxpool1:
+            x0 = nn.max_pool(x0, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = [x0]
+        x = x0
+        in_planes = 64
+        for stage, (planes, blocks) in enumerate(
+                zip((64, 128, 256, 512), self.layers)):
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                needs_ds = b == 0 and (
+                    s != 1 or in_planes != planes * self.block.expansion)
+                x = self.block(planes=planes, stride=s, downsample=needs_ds,
+                               dtype=self.dtype,
+                               name=f"layer{stage + 1}_{b}")(x, train=train)
+            in_planes = planes * self.block.expansion
+            feats.append(x)
+
+        if self.return_all_feature_maps:
+            return feats
+        pooled = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d((1,1)) + flatten
+        return [pooled]
+
+
+def resnet18(**kw):
+    return ResNet(block=BasicBlock, layers=(2, 2, 2, 2), **kw)
+
+
+def resnet34(**kw):
+    return ResNet(block=BasicBlock, layers=(3, 4, 6, 3), **kw)
+
+
+def resnet50(**kw):
+    return ResNet(block=Bottleneck, layers=(3, 4, 6, 3), **kw)
+
+
+def resnet101(**kw):
+    return ResNet(block=Bottleneck, layers=(3, 4, 23, 3), **kw)
+
+
+def resnet152(**kw):
+    return ResNet(block=Bottleneck, layers=(3, 8, 36, 3), **kw)
+
+
+_ENCODERS: dict[str, Callable[..., ResNet]] = {
+    "resnet18": resnet18,
+    "resnet34": resnet34,
+    "resnet50": resnet50,
+    "resnet101": resnet101,
+    "resnet152": resnet152,
+}
+
+EMBEDDING_DIM = {  # pooled_dim per encoder (``STiLModel.py:37``)
+    "resnet18": 512,
+    "resnet34": 512,
+    "resnet50": 2048,
+    "resnet101": 2048,
+    "resnet152": 2048,
+}
+
+
+def image_encoder(name: str, return_all_feature_maps: bool = False,
+                  dtype: Any = jnp.bfloat16) -> ResNet:
+    """``torchvision_ssl_encoder`` equivalent
+    (``models/self_supervised.py:8-15``): encoder with no fc head."""
+    if name not in _ENCODERS:
+        raise ValueError(
+            f"Unknown image encoder '{name}'. Available: {sorted(_ENCODERS)}")
+    return _ENCODERS[name](return_all_feature_maps=return_all_feature_maps,
+                           dtype=dtype)

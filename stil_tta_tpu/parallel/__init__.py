@@ -1,0 +1,7 @@
+from stil_tta_tpu.parallel.mesh import (
+    create_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+)

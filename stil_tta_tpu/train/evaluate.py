@@ -1,0 +1,205 @@
+"""Training driver ("evaluate" in the reference's vocabulary).
+
+Parity target: ``/root/reference/trainers/evaluate.py:93-219`` — build
+the labeled/unlabeled/val loaders, instantiate the algorithm, fit with
+best-checkpointing + early stopping on ``eval.val.{acc|auc}``, then test
+with the best checkpoint and dump CSVs.
+
+TPU-shaped differences:
+- the unlabeled stream defines the epoch; the labeled stream cycles
+  (PL combined-loader semantics, SURVEY.md §3.1); train batches are
+  dropped-last for static shapes;
+- both streams live in HBM (:class:`DeviceCache`) and the loop only
+  ships int32 index vectors to the device;
+- validation/test run a jitted forward and compute exact metrics
+  host-side (sklearn AUROC == torchmetrics within fp tolerance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stil_tta_tpu.algorithms.registry import get_algorithm
+from stil_tta_tpu.data.datasets import apply_sweep_truncation, load_sources
+from stil_tta_tpu.data.loader import (CyclingSampler, DeviceCache,
+                                      EpochSampler)
+from stil_tta_tpu.train import optim
+from stil_tta_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from stil_tta_tpu.utils.logging import MetricLogger
+
+
+def compute_eval_metrics(probs: np.ndarray, labels: np.ndarray,
+                         num_classes: int, prefix: str) -> Dict[str, float]:
+    """acc + auc, binary tasks scored on class-1 probability
+    (``STiLModel.py:461-464``)."""
+    from sklearn.metrics import roc_auc_score
+    out = {}
+    if num_classes == 2:
+        p1 = probs[:, 1]
+        out[f"{prefix}.acc"] = float(((p1 >= 0.5).astype(int) == labels)
+                                     .mean())
+        try:
+            out[f"{prefix}.auc"] = float(roc_auc_score(labels, p1))
+        except ValueError:
+            out[f"{prefix}.auc"] = 0.0
+    else:
+        out[f"{prefix}.acc"] = float((probs.argmax(1) == labels).mean())
+        try:
+            out[f"{prefix}.auc"] = float(roc_auc_score(
+                labels, probs, multi_class="ovr", average="macro",
+                labels=np.arange(num_classes)))
+        except ValueError:
+            out[f"{prefix}.auc"] = 0.0
+    return out
+
+
+def run_validation(eval_step, params, batch_stats, cache, batch_size,
+                   num_classes, prefix="eval.val") -> Dict[str, float]:
+    n = int(cache["labels"].shape[0])
+    sampler = EpochSampler(n, batch_size, shuffle=False, drop_last=False)
+    probs_m, probs_i, probs_t, ys, ws = [], [], [], [], []
+    for idx, w in sampler.epoch():
+        images = jnp.take(cache["images"], idx, axis=0)
+        tabular = jnp.take(cache["tabular"], idx, axis=0)
+        out = eval_step(params, batch_stats, images, tabular)
+        keep = w > 0
+        probs_m.append(np.asarray(out["prob_m"])[keep])
+        if "prob_i" in out:
+            probs_i.append(np.asarray(out["prob_i"])[keep])
+            probs_t.append(np.asarray(out["prob_t"])[keep])
+        ys.append(np.asarray(cache["labels"])[idx[keep]])
+    y = np.concatenate(ys)
+    metrics = compute_eval_metrics(np.concatenate(probs_m), y, num_classes,
+                                   prefix)
+    if probs_i:
+        metrics.update(compute_eval_metrics(
+            np.concatenate(probs_i), y, num_classes, f"{prefix}_imaging"))
+        metrics.update(compute_eval_metrics(
+            np.concatenate(probs_t), y, num_classes, f"{prefix}_tabular"))
+        # rename to the reference's stream names
+        metrics[f"{prefix}.acc_imaging"] = metrics.pop(
+            f"{prefix}_imaging.acc")
+        metrics[f"{prefix}.auc_imaging"] = metrics.pop(
+            f"{prefix}_imaging.auc")
+        metrics[f"{prefix}.acc_tabular"] = metrics.pop(
+            f"{prefix}_tabular.acc")
+        metrics[f"{prefix}.auc_tabular"] = metrics.pop(
+            f"{prefix}_tabular.auc")
+    return metrics
+
+
+def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
+    logdir = Path(logdir or cfg.logdir or "runs/eval")
+    logdir.mkdir(parents=True, exist_ok=True)
+    logger = MetricLogger(logdir, echo=bool(cfg.enable_progress_bar))
+
+    sources = apply_sweep_truncation(load_sources(cfg), cfg)
+    src_l, src_u = sources["train_labelled"], sources["train_unlabelled"]
+    field_lengths = src_l.field_lengths
+    num_classes = int(cfg.num_classes or src_l.num_classes)
+    cfg.num_classes = num_classes
+
+    # batch split + repeat_ratio (``trainers/evaluate.py:83-88``)
+    batch_size = int(cfg.batch_size)
+    ur = int(cfg.unlabelled_ratio or 1)
+    l_batch = max(batch_size // (1 + ur), 1)
+    u_batch = batch_size - l_batch
+    cfg.repeat_ratio = max(len(src_u) // (ur * max(len(src_l), 1)) - 1, 1)
+
+    algo = get_algorithm(cfg.algorithm_name)(cfg, field_lengths)
+    cache_l = DeviceCache(src_l).as_dict()
+    cache_u = DeviceCache(src_u).as_dict()
+    cache_val = DeviceCache(sources["val"]).as_dict()
+
+    rng = jax.random.key(int(cfg.seed or 0))
+    sample_img = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    sample_tab = jnp.asarray(src_l.tabular[:2])
+    state = algo.init_state(rng, sample_img, sample_tab)
+
+    train_step = algo.make_train_step()
+    eval_step = algo.make_eval_step()
+
+    u_sampler = EpochSampler(len(src_u), u_batch, shuffle=True,
+                             drop_last=True, seed=int(cfg.seed or 0))
+    l_sampler = CyclingSampler(len(src_l), l_batch,
+                               seed=int(cfg.seed or 0) + 1)
+
+    eval_metric = cfg.eval_metric or ("acc" if cfg.target == "dvm"
+                                      else "auc")
+    monitor = f"eval.val.{eval_metric}"
+    best = -np.inf
+    patience = int((40 if cfg.sweep else 100)
+                   * (1.0 / float(cfg.val_check_interval or 1.0)))
+    bad_epochs = 0
+    plateau = optim.PlateauScheduler(
+        float(cfg.lr_eval), patience=int(10 / (cfg.check_val_every_n_epoch
+                                               or 1)),
+        min_lr=float(cfg.lr) * 1e-4, mode="max") \
+        if cfg.scheduler == "linear" else None
+
+    max_epochs = int(cfg.max_epochs)
+    steps_per_epoch = u_sampler.steps_per_epoch()
+    cfg.dataset_length = steps_per_epoch
+    history = []
+    val_metric_value = None
+    for epoch in range(max_epochs):
+        lr = optim.scheduled_lr(cfg, epoch, val_metric_value, plateau)
+        optim.set_learning_rate(state.opt_state, lr)
+        t0 = time.time()
+        epoch_arr = jnp.asarray(epoch, jnp.int32)
+        for idx_u, _ in u_sampler.epoch():
+            idx_l, _ = l_sampler.next()
+            state = train_step(state, cache_l, cache_u,
+                               jnp.asarray(idx_l), jnp.asarray(idx_u),
+                               epoch_arr)
+        state, train_logs = algo.epoch_end(state)
+        dt = time.time() - t0
+        train_logs["lr"] = lr
+        train_logs["samples_per_sec"] = (
+            steps_per_epoch * batch_size / max(dt, 1e-9))
+        logger.log(train_logs, step=epoch, prefix="multimodal.train.")
+
+        if epoch % int(cfg.check_val_every_n_epoch or 1) == 0:
+            val_metrics = run_validation(
+                eval_step, state.params, state.batch_stats, cache_val,
+                batch_size, num_classes)
+            logger.log(val_metrics, step=epoch)
+            val_metric_value = val_metrics.get(monitor)
+            history.append(val_metrics)
+            if val_metric_value is not None and \
+                    val_metric_value > best + 1e-4:
+                best = val_metric_value
+                bad_epochs = 0
+                save_checkpoint(logdir, state, cfg.to_dict(),
+                                name=f"checkpoint_best_{eval_metric}")
+            else:
+                bad_epochs += 1
+                if bad_epochs >= patience:
+                    print(f"Early stopping at epoch {epoch}")
+                    break
+
+    logger.log({f"best.val.{eval_metric}": best}, step=max_epochs)
+    logger.dump_csv("eval_results.csv")
+
+    results = {"best_val": best}
+    if cfg.test_and_eval:
+        try:
+            state = restore_checkpoint(logdir, state,
+                                       name=f"checkpoint_best_{eval_metric}")
+        except FileNotFoundError:
+            pass
+        cache_test = DeviceCache(sources["test"]).as_dict()
+        test_metrics = run_validation(
+            eval_step, state.params, state.batch_stats, cache_test,
+            batch_size, num_classes, prefix="test")
+        logger.log(test_metrics, step=max_epochs)
+        logger.dump_csv("test_results.csv", test_metrics)
+        results.update(test_metrics)
+    return results
