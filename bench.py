@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark: STiL train-step throughput (samples/sec/chip).
+
+Reproduces the reference's DVM training shape (BASELINE.md): batch 512 =
+64 labeled + 448 unlabeled, 128x128 images, ResNet-50 + 4-layer tabular
+transformer + 1 fusion layer, 286 classes, 17 tabular features — running
+the FULL fused train step (on-device augmentation + student fwd/bwd +
+EMA teacher fwd + CGPL/PGLS + all losses + Adam + prototype update).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` divides by 1200 samples/sec — an estimate of the
+reference PyTorch pipeline on a single A100 for this exact shape
+(~3 ResNet-50 passes/step + CPU albumentations input path; the repo
+publishes no number, BASELINE.md). The north-star target is 5x => a
+vs_baseline of 5.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_REFERENCE_SAMPLES_PER_SEC = 1200.0
+
+
+def main():
+    import jax
+
+    from stil_tta_tpu.utils import jax_setup
+    jax_setup.setup()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stil_tta_tpu.algorithms.registry import get_algorithm
+    from stil_tta_tpu.config import load_config
+    from stil_tta_tpu.data.loader import DeviceCache
+    from stil_tta_tpu.data.source import synthetic_source
+
+    batch_size = 512
+    ur = 7
+    l_batch = batch_size // (1 + ur)   # 64
+    u_batch = batch_size - l_batch     # 448
+    img_size = 128
+    num_classes = 286
+    field_lengths = [20, 10, 5, 3] + [1] * 13  # 4 cat + 13 con (DVM)
+
+    cfg = load_config("config_dvm_STiL", overrides=[
+        "dataset=synthetic_dvm", "models=resnet50",
+        f"batch_size={batch_size}", f"num_classes={num_classes}",
+        "start_epoch=0", "tta=false",
+    ])
+    cfg.field_lengths = field_lengths
+    cfg.repeat_ratio = 1
+
+    src_l = synthetic_source(max(l_batch * 4, 256),
+                             num_classes=num_classes,
+                             field_lengths=field_lengths,
+                             image_size=img_size, labelled_frac=1.0, seed=0)
+    src_u = synthetic_source(max(u_batch * 4, 1792),
+                             num_classes=num_classes,
+                             field_lengths=field_lengths,
+                             image_size=img_size, labelled_frac=0.0, seed=1)
+
+    algo = get_algorithm("STiL")(cfg, field_lengths)
+    cache_l = DeviceCache(src_l).as_dict()
+    cache_u = DeviceCache(src_u).as_dict()
+
+    rng = jax.random.key(0)
+    state = algo.init_state(rng,
+                            jnp.zeros((2, img_size, img_size, 3)),
+                            jnp.asarray(src_l.tabular[:2]))
+    train_step = algo.make_train_step()
+
+    rs = np.random.RandomState(0)
+    def idx_pair(i):
+        return (jnp.asarray(rs.randint(0, len(src_l), l_batch), jnp.int32),
+                jnp.asarray(rs.randint(0, len(src_u), u_batch), jnp.int32))
+
+    epoch = jnp.asarray(1, jnp.int32)
+    # warmup / compile
+    for i in range(3):
+        il, iu = idx_pair(i)
+        state = train_step(state, cache_l, cache_u, il, iu, epoch)
+    jax.block_until_ready(state.params)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        il, iu = idx_pair(i)
+        state = train_step(state, cache_l, cache_u, il, iu, epoch)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = n_steps * batch_size / dt
+    print(json.dumps({
+        "metric": "stil_dvm_train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(samples_per_sec
+                             / A100_REFERENCE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""CoMatch (graph-based contrastive co-training of class probs and
+embeddings).
+
+Parity target: ``/root/reference/models/MatchModel/CoMatch.py`` +
+``comatch_model.py``: momentum encoder; two circular queues (K=2560) —
+strong-aug features+probs and weak-aug features+probs incl. labeled
+one-hots (``comatch_model.py:80-90, 116-146, 314-321``); DA via a
+128-window history of batch-mean probs (``:270-284``); memory-smoothed
+pseudo-labels (``:287-293``); pseudo-label graph Q = [probs·probsᵀ
+(diag=1), probs·bank] and embedding graph from the two strong views +
+queue (``:295-312``); loss = ``loss_x + λ_u·masked soft-CE +
+min(epoch+1, λ_c)·graph-contrastive`` with edge threshold
+``contrast_th`` (``CoMatch.py:96-117``). Requires two strong views
+(``trainers/evaluate.py:54``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from stil_tta_tpu.algorithms.base import ema_update
+from stil_tta_tpu.algorithms.match_common import MatchBase, MatchState
+from stil_tta_tpu.data.loader import gather_batch
+from stil_tta_tpu.losses import cross_entropy, soft_cross_entropy
+
+DA_WINDOW = 128  # comatch_model.py:281 (`len(self.hist_prob) > 128`)
+
+
+class CoMatch(MatchBase):
+    name = "CoMatch"
+    LOG_KEYS = ("loss", "loss_x", "loss_u", "loss_contrast",
+                "threshold1_ratio")
+
+    def extra_state(self, rng) -> Dict[str, jax.Array]:
+        k = int(self.cfg.K or 2560)
+        dim = int(self.cfg.projection_dim)
+        c = self.num_classes
+        norm = lambda x: x / jnp.linalg.norm(x, axis=0, keepdims=True)
+        return {
+            "queue_s": norm(jax.random.normal(jax.random.key(11),
+                                              (dim, k), jnp.float32)),
+            "probs_u": jnp.zeros((c, k), jnp.float32),
+            "queue_w": jax.random.normal(jax.random.key(13), (dim, k),
+                                         jnp.float32),
+            "probs_xu": jnp.zeros((c, k), jnp.float32),
+            "ptr_s": jnp.zeros((), jnp.int32),
+            "ptr_w": jnp.zeros((), jnp.int32),
+            # DA history ring (list in the reference; fixed ring here)
+            "hist_prob": jnp.zeros((DA_WINDOW, c), jnp.float32),
+            "hist_len": jnp.zeros((), jnp.int32),
+            "hist_ptr": jnp.zeros((), jnp.int32),
+        }
+
+    @staticmethod
+    def _enqueue(queue, probs, ptr, z, t):
+        """Circular enqueue with boundary truncation
+        (``comatch_model.py:118-146``). Batch and K are static, so the
+        truncation is a mask over scatter indices."""
+        k = queue.shape[1]
+        b = z.shape[0]
+        offs = jnp.arange(b)
+        idx = ptr + offs
+        valid = idx < k  # truncate at the boundary, as the reference does
+        idx = jnp.where(valid, idx, k)  # out-of-range -> dropped
+        queue = queue.at[:, idx].set(jnp.where(valid[None, :], z.T,
+                                               queue.at[:, idx].get()),
+                                     mode="drop")
+        probs = probs.at[:, idx].set(jnp.where(valid[None, :], t.T,
+                                               probs.at[:, idx].get()),
+                                     mode="drop")
+        new_ptr = (ptr + jnp.minimum(b, k - ptr)) % k
+        return queue, probs, new_ptr
+
+    def make_train_step(self):
+        cfg = self.cfg
+        c = self.num_classes
+        thr = float(cfg.co_threshold)
+        contrast_th = float(cfg.contrast_th)
+        lam_u, lam_c_max = float(cfg.lam_u), float(cfg.lam_c)
+        alpha = float(cfg.alpha)
+        temp = float(cfg.co_temperature or cfg.temperature)
+        start_epoch = int(cfg.start_epoch)
+        momentum = float(cfg.ema_momentum)
+        binary = c == 2
+
+        def step(state: MatchState, cache_l, cache_u, idx_l, idx_u,
+                 epoch: jax.Array):
+            rng, kl, ku, kd = jax.random.split(state.rng, 4)
+            bl = gather_batch(cache_l, idx_l)
+            bu = gather_batch(cache_u, idx_u)
+            y_l, y_u = bl["labels"], bu["labels"]
+            b_l, b_u = y_l.shape[0], y_u.shape[0]
+            ex = state.extra
+
+            img_x, tab_x = self.labeled_views(kl, bl["images"],
+                                              bl["tabular"],
+                                              cache_l["tabular"])
+            (img_w, tab_w), (img_s0, tab_s0), (img_s1, tab_s1) = \
+                self.weak_strong_views(ku, bu["images"], bu["tabular"],
+                                       cache_u["tabular"], two_strong=True)
+
+            # momentum encoder update + teacher fwd on (x, u_w, u_s1)
+            ema_p, ema_bs = ema_update(state.ema_params, state.params,
+                                       momentum, True,
+                                       state.ema_batch_stats,
+                                       state.batch_stats)
+            state_t = dataclasses.replace(state, ema_params=ema_p,
+                                          ema_batch_stats=ema_bs)
+            logits_m, feats_m = self.apply_teacher(
+                state_t,
+                jnp.concatenate([img_x, img_w, img_s1]),
+                jnp.concatenate([tab_x, tab_w, tab_s1]))
+            outputs_uw = logits_m[b_l:b_l + b_u]
+            feature_uw = feats_m[b_l:b_l + b_u]
+            feature_xuw = feats_m[:b_l + b_u]
+            features_us1 = feats_m[b_l + b_u:]
+
+            probs = jax.nn.softmax(outputs_uw, axis=1)
+            # DA over a 128-deep history ring (:270-284)
+            mean_p = jnp.mean(probs, axis=0)
+            hist = ex["hist_prob"].at[ex["hist_ptr"]].set(mean_p)
+            hist_len = jnp.minimum(ex["hist_len"] + 1, DA_WINDOW)
+            hist_ptr = (ex["hist_ptr"] + 1) % DA_WINDOW
+            probs_avg = jnp.sum(hist, axis=0) / hist_len.astype(jnp.float32)
+            probs = probs / jnp.clip(probs_avg, 1e-12)
+            probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+            probs_orig = probs
+
+            # memory-smoothed refinement after start_epoch (:287-293)
+            a = jnp.exp((feature_uw @ ex["queue_w"]) / temp)
+            a = a / jnp.clip(jnp.sum(a, axis=1, keepdims=True), 1e-12)
+            smoothed = alpha * probs + (1 - alpha) * (a @ ex["probs_xu"].T)
+            probs = jnp.where(epoch > start_epoch, smoothed, probs)
+
+            # pseudo-label graph Q (:295-306)
+            q_self = probs @ probs.T
+            q_self = q_self * (1 - jnp.eye(b_u)) + jnp.eye(b_u)
+            q_past = probs @ ex["probs_u"]
+            q = jnp.concatenate([q_self, q_past], axis=1)
+
+            mask = (jnp.max(probs, axis=1) >= thr).astype(jnp.float32)
+
+            def loss_fn(params):
+                logits, feats, new_stats = self.apply_student(
+                    params, state.batch_stats,
+                    jnp.concatenate([img_x, img_s0]),
+                    jnp.concatenate([tab_x, tab_s0]), kd)
+                outputs_x, outputs_us0 = logits[:b_l], logits[b_l:]
+                features_us0 = feats[b_l:]
+                loss_x = cross_entropy(outputs_x, y_l)
+                loss_u = jnp.mean(soft_cross_entropy(
+                    outputs_us0, probs, "none") * mask)
+                # embedding graph over the two strong views + queue
+                sim_self = jnp.exp((features_us0 @ features_us1.T) / temp)
+                sim_past = jnp.exp((features_us0 @ ex["queue_s"]) / temp)
+                sim = jnp.concatenate([sim_self, sim_past], axis=1)
+                pos_mask = (q >= contrast_th).astype(jnp.float32)
+                q_mask = q * pos_mask
+                q_mask = q_mask / jnp.clip(
+                    jnp.sum(q_mask, axis=1, keepdims=True), 1e-12)
+                pos_probs = (sim * pos_mask) / jnp.clip(
+                    jnp.sum(sim, axis=1, keepdims=True), 1e-12)
+                log_probs = jnp.log(pos_probs + 1e-7) * pos_mask
+                loss_contrast = jnp.mean(-jnp.sum(log_probs * q_mask,
+                                                  axis=1))
+                lam_c = jnp.minimum(epoch.astype(jnp.float32) + 1.0,
+                                    lam_c_max)
+                gate = (epoch > start_epoch).astype(jnp.float32)
+                total = loss_x + gate * (lam_u * loss_u
+                                         + lam_c * loss_contrast)
+                logs = {"loss": total, "loss_x": loss_x, "loss_u": loss_u,
+                        "loss_contrast": loss_contrast,
+                        "threshold1_ratio": jnp.mean(mask)}
+                return total, (new_stats, outputs_x, outputs_us0, logs)
+
+            grads, (new_stats, outputs_x, outputs_us0, logs) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates)
+
+            # queue updates (:314-321)
+            queue_s, probs_u, ptr_s = self._enqueue(
+                ex["queue_s"], ex["probs_u"], ex["ptr_s"], features_us1,
+                probs)
+            onehot = jax.nn.one_hot(y_l, c, dtype=jnp.float32)
+            probs_xu_new = jnp.concatenate([onehot, probs_orig], axis=0)
+            queue_w, probs_xu, ptr_w = self._enqueue(
+                ex["queue_w"], ex["probs_xu"], ex["ptr_w"], feature_xuw,
+                probs_xu_new)
+
+            prob_x = jax.nn.softmax(outputs_x, axis=1)
+            prob_u = jax.nn.softmax(outputs_us0, axis=1)
+            acc, acc_u, new_logs = self.update_logs(
+                state, logs, prob_x, y_l, prob_u, y_u, binary)
+            return dataclasses.replace(
+                state, params=new_params, batch_stats=new_stats,
+                opt_state=new_opt, ema_params=ema_p,
+                ema_batch_stats=ema_bs, rng=rng, step=state.step + 1,
+                extra={"queue_s": queue_s, "probs_u": probs_u,
+                       "queue_w": queue_w, "probs_xu": probs_xu,
+                       "ptr_s": ptr_s, "ptr_w": ptr_w,
+                       "hist_prob": hist, "hist_len": hist_len,
+                       "hist_ptr": hist_ptr},
+                acc_train=acc, acc_train_u=acc_u, log_sums=new_logs,
+                log_count=state.log_count + 1.0)
+
+        return jax.jit(step, donate_argnums=(0,))

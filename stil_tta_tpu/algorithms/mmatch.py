@@ -1,0 +1,210 @@
+"""MMatch (multimodal pseudo-labeling with a memory bank, no EMA).
+
+Parity target: ``/root/reference/models/SemiMultimodal/MMatch.py``:
+three-head concat backbone (no teacher); DA (``:135-148``); memory bank
+``embed_queue (proj_dim, 640)`` + ``probs_queue`` ring (``:57-62,
+101-117``); memory-smoothed pseudo-label ``0.9·DA + 0.1·A@probs_bank``
+after epoch 0 (``:215-223``); hard-label masked CE on the imaging and
+tabular heads only (``:225-230``); loss = ``α·CE_l +
+mmatch_λ·(L_i + L_t)`` after ``start_epoch`` (``:236-239``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from stil_tta_tpu.algorithms.base import distribution_alignment
+from stil_tta_tpu.algorithms.match_common import MatchBase, MatchState
+from stil_tta_tpu.data.augment import contrastive_pipeline
+from stil_tta_tpu.data.corrupt import corrupt_tabular
+from stil_tta_tpu.data.loader import gather_batch
+from stil_tta_tpu.losses import cross_entropy, soft_cross_entropy
+from stil_tta_tpu.models.backbones import SemiMultimodalBackbone
+
+MMATCH_K = 640  # MMatch.py:52 (`self.K = 640`)
+
+
+class SemiMultimodalNet(nn.Module):
+    encoder: str
+    field_lengths: Tuple[int, ...]
+    num_classes: int
+    projection_dim: int = 128
+    tabular_embedding_dim: int = 512
+    multimodal_embedding_dim: int = 512
+    tabular_num_layers: int = 4
+    tabular_encoder: str = "transformer"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, image, tabular, train: bool = False):
+        return SemiMultimodalBackbone(
+            model=self.encoder, field_lengths=self.field_lengths,
+            num_classes=self.num_classes,
+            projection_dim=self.projection_dim,
+            tabular_embedding_dim=self.tabular_embedding_dim,
+            multimodal_embedding_dim=self.multimodal_embedding_dim,
+            tabular_num_layers=self.tabular_num_layers,
+            tabular_encoder=self.tabular_encoder,
+            dtype=self.dtype, name="backbone")(image, tabular, train=train)
+
+
+class MMatch(MatchBase):
+    name = "MMatch"
+    LOG_KEYS = ("loss", "CEloss", "CEloss_unlabelled_i",
+                "CEloss_unlabelled_t", "threshold1_ratio")
+    tabular_encoder = "transformer"
+
+    def __init__(self, cfg, field_lengths, dtype=jnp.bfloat16):
+        super().__init__(cfg, field_lengths, dtype=dtype)
+        # MMatch/CoTraining always ride the 3-head concat backbone and
+        # the contrastive view recipe (``ContrastiveImagingAndTabular
+        # Dataset`` via strategy semisl — ``evaluate.py:72-80``)
+        self.net = SemiMultimodalNet(
+            encoder=cfg.model,
+            field_lengths=tuple(int(x) for x in field_lengths),
+            num_classes=self.num_classes,
+            projection_dim=int(cfg.projection_dim),
+            tabular_embedding_dim=int(cfg.tabular_embedding_dim),
+            multimodal_embedding_dim=int(cfg.multimodal_embedding_dim),
+            tabular_num_layers=int(cfg.tabular_transformer_num_layers),
+            tabular_encoder=self.tabular_encoder, dtype=dtype)
+        self.multimodal = True
+        self.aug_train = contrastive_pipeline(
+            int(cfg.img_size), cfg.target,
+            float(cfg.crop_scale_lower or 0.08))
+
+    def extra_state(self, rng) -> Dict[str, jax.Array]:
+        dim = int(self.cfg.projection_dim)
+        c = self.num_classes
+        q = jax.random.normal(jax.random.key(17), (dim, MMATCH_K),
+                              jnp.float32)
+        q = q / jnp.linalg.norm(q, axis=0, keepdims=True)
+        return {"embed_queue": q,
+                "probs_queue": jnp.zeros((c, MMATCH_K), jnp.float32),
+                "ptr": jnp.zeros((), jnp.int32)}
+
+    def contrastive_views(self, key, images, tabular, marginal):
+        k1, k2 = jax.random.split(key)
+        imgs = self.aug_train(k1, images,
+                              apply_rate=float(self.cfg.augmentation_rate))
+        tabs = corrupt_tabular(k2, tabular, marginal,
+                               float(self.cfg.corruption_rate))
+        return imgs, tabs
+
+    def _apply_3head(self, params, batch_stats, images, tabular, rng):
+        (om, oi, ot, xm), mut = self.net.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            tabular, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        return om, oi, ot, xm, mut["batch_stats"]
+
+    def make_eval_step(self):
+        net, aug = self.net, self.aug_eval
+
+        def step(params, batch_stats, images, tabular):
+            imgs = aug(jax.random.key(0), images)
+            om, oi, ot, _ = net.apply(
+                {"params": params, "batch_stats": batch_stats}, imgs,
+                tabular, train=False)
+            return {"prob_m": jax.nn.softmax(om, axis=1),
+                    "prob_i": jax.nn.softmax(oi, axis=1),
+                    "prob_t": jax.nn.softmax(ot, axis=1)}
+
+        return jax.jit(step)
+
+    def make_train_step(self):
+        cfg = self.cfg
+        c = self.num_classes
+        alpha = float(cfg.alpha)
+        lam = float(cfg.mmatch_lambda or 1.0)
+        th1 = float(cfg.th1)
+        temp = float(cfg.temperature)
+        start_epoch = int(cfg.start_epoch)
+        binary = c == 2
+        from stil_tta_tpu.algorithms.comatch import CoMatch
+        enqueue = CoMatch._enqueue
+
+        def step(state: MatchState, cache_l, cache_u, idx_l, idx_u,
+                 epoch: jax.Array):
+            rng, kl, ku, kd = jax.random.split(state.rng, 4)
+            bl = gather_batch(cache_l, idx_l)
+            bu = gather_batch(cache_u, idx_u)
+            y_l, y_u = bl["labels"], bu["labels"]
+            b_l, b_u = y_l.shape[0], y_u.shape[0]
+            ex = state.extra
+
+            img_l, tab_l = self.contrastive_views(kl, bl["images"],
+                                                  bl["tabular"],
+                                                  cache_l["tabular"])
+            img_u, tab_u = self.contrastive_views(ku, bu["images"],
+                                                  bu["tabular"],
+                                                  cache_u["tabular"])
+            images = jnp.concatenate([img_l, img_u])
+            tabs = jnp.concatenate([tab_l, tab_u])
+
+            def loss_fn(params):
+                """Single forward: the pseudo labels come from the same
+                student pass (the reference has no EMA here,
+                ``MMatch.py:215-230``) under stop_gradient."""
+                om, oi, ot, xm, new_stats = self._apply_3head(
+                    params, state.batch_stats, images, tabs, kd)
+                feat_m = jax.lax.stop_gradient(xm)
+                feat_m = feat_m / jnp.clip(
+                    jnp.linalg.norm(feat_m, axis=1, keepdims=True), 1e-12)
+                da, pseudo = distribution_alignment(
+                    state.da, jax.nn.softmax(
+                        jax.lax.stop_gradient(om[b_l:]), axis=1))
+                a = jnp.exp((feat_m[b_l:] @ ex["embed_queue"]) / temp)
+                a = a / jnp.clip(jnp.sum(a, axis=1, keepdims=True), 1e-12)
+                smoothed = 0.9 * pseudo + 0.1 * (a @ ex["probs_queue"].T)
+                pseudo = jnp.where(epoch > 0, smoothed, pseudo)
+                mask1 = (jnp.max(pseudo, axis=1) >= th1) \
+                    .astype(jnp.float32)
+                hard = jax.nn.one_hot(jnp.argmax(pseudo, axis=1), c,
+                                      dtype=jnp.float32)
+                loss_ce = (cross_entropy(om[:b_l], y_l)
+                           + cross_entropy(oi[:b_l], y_l)
+                           + cross_entropy(ot[:b_l], y_l))
+                loss_i_u = jnp.mean(soft_cross_entropy(oi[b_l:], hard,
+                                                       "none") * mask1)
+                loss_t_u = jnp.mean(soft_cross_entropy(ot[b_l:], hard,
+                                                       "none") * mask1)
+                gate = (epoch > start_epoch).astype(jnp.float32)
+                total = alpha * loss_ce + gate * lam * (loss_i_u
+                                                        + loss_t_u)
+                logs = {"loss": total, "CEloss": loss_ce,
+                        "CEloss_unlabelled_i": loss_i_u,
+                        "CEloss_unlabelled_t": loss_t_u,
+                        "threshold1_ratio": jnp.mean(mask1)}
+                return total, (new_stats, om, feat_m, pseudo, da, logs)
+
+            grads, (new_stats, om, feat_m, pseudo, da, logs) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates)
+
+            pseudo_all = jnp.concatenate(
+                [jax.nn.one_hot(y_l, c, dtype=jnp.float32), pseudo])
+            queue, probs_q, ptr = enqueue(ex["embed_queue"],
+                                          ex["probs_queue"], ex["ptr"],
+                                          feat_m, pseudo_all)
+
+            prob_m = jax.nn.softmax(om, axis=1)
+            acc, acc_u, new_logs = self.update_logs(
+                state, logs, prob_m[:b_l], y_l, prob_m[b_l:], y_u, binary)
+            return dataclasses.replace(
+                state, params=new_params, batch_stats=new_stats,
+                opt_state=new_opt, rng=rng, step=state.step + 1, da=da,
+                extra={"embed_queue": queue, "probs_queue": probs_q,
+                       "ptr": ptr},
+                acc_train=acc, acc_train_u=acc_u, log_sums=new_logs,
+                log_count=state.log_count + 1.0)
+
+        return jax.jit(step, donate_argnums=(0,))
