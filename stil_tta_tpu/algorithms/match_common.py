@@ -139,21 +139,31 @@ class MatchBase:
 
     # ------------------------------------------------------------------
     def init_state(self, rng, sample_image, sample_tabular) -> MatchState:
-        variables = self.net.init({"params": rng, "dropout": rng},
-                                  sample_image, sample_tabular, train=False)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
-        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
-        da = DAState.create(self.num_classes) if self.cfg.DA else None
-        return MatchState(
-            params=params, batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
-            ema_params=copy(params), ema_batch_stats=copy(batch_stats),
-            rng=rng, step=jnp.zeros((), jnp.int32),
-            da=da, extra=self.extra_state(rng),
-            acc_train=accuracy_init(), acc_train_u=accuracy_init(),
-            log_sums={k: jnp.zeros((), jnp.float32) for k in self.LOG_KEYS},
-            log_count=jnp.zeros((), jnp.float32))
+        use_da = bool(self.cfg.DA)
+
+        # single jitted program (see STiL.init_state: the axon tunnel
+        # has high per-dispatch latency)
+        def make(rng):
+            variables = self.net.init({"params": rng, "dropout": rng},
+                                      sample_image, sample_tabular,
+                                      train=False)
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+            copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+            da = DAState.create(self.num_classes) if use_da else None
+            return MatchState(
+                params=params, batch_stats=batch_stats,
+                opt_state=self.tx.init(params),
+                ema_params=copy(params),
+                ema_batch_stats=copy(batch_stats),
+                rng=rng, step=jnp.zeros((), jnp.int32),
+                da=da, extra=self.extra_state(rng),
+                acc_train=accuracy_init(), acc_train_u=accuracy_init(),
+                log_sums={k: jnp.zeros((), jnp.float32)
+                          for k in self.LOG_KEYS},
+                log_count=jnp.zeros((), jnp.float32))
+
+        return jax.jit(make)(rng)
 
     # ------------------------------------------------------------------
     def labeled_views(self, key, images, tabular, marginal):

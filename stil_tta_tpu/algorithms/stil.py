@@ -196,32 +196,41 @@ class STiL:
 
     # ------------------------------------------------------------------
     def init_state(self, rng, sample_image, sample_tabular) -> STiLState:
-        variables = self.net.init(
-            {"params": rng, "dropout": rng}, sample_image, sample_tabular,
-            train=False)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
         pdim = int(self.cfg.projection_dim)
         c = self.num_classes
-        ema_p = jax.tree_util.tree_map(jnp.array, params["backbone"]) \
-            if self.use_ema else None
-        ema_bs = jax.tree_util.tree_map(jnp.array,
-                                        batch_stats.get("backbone", {})) \
-            if self.use_ema else None
-        da = DAState.create(c) if self.cfg.DA else None
-        return STiLState(
-            params=params, batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
-            ema_params=ema_p, ema_batch_stats=ema_bs,
-            rng=rng, step=jnp.zeros((), jnp.int32),
-            prototypes=jnp.zeros((c, pdim), jnp.float32),
-            prototypes_sum=jnp.zeros((c, pdim), jnp.float32),
-            prototypes_count=jnp.zeros((c, 1), jnp.float32),
-            da=da,
-            acc_train=accuracy_init(), acc_train_u=accuracy_init(),
-            log_sums={k: jnp.zeros((), jnp.float32) for k in LOG_KEYS},
-            log_count=jnp.zeros((), jnp.float32),
-        )
+        use_da = bool(self.cfg.DA)
+        use_ema = self.use_ema
+
+        # one jitted program: init + EMA copies + every buffer — a single
+        # device dispatch instead of hundreds (the axon tunnel has high
+        # per-call latency, so un-jitted init costs minutes)
+        def make(rng):
+            variables = self.net.init(
+                {"params": rng, "dropout": rng}, sample_image,
+                sample_tabular, train=False)
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+            copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+            ema_p = copy(params["backbone"]) if use_ema else None
+            ema_bs = copy(batch_stats.get("backbone", {})) \
+                if use_ema else None
+            da = DAState.create(c) if use_da else None
+            return STiLState(
+                params=params, batch_stats=batch_stats,
+                opt_state=self.tx.init(params),
+                ema_params=ema_p, ema_batch_stats=ema_bs,
+                rng=rng, step=jnp.zeros((), jnp.int32),
+                prototypes=jnp.zeros((c, pdim), jnp.float32),
+                prototypes_sum=jnp.zeros((c, pdim), jnp.float32),
+                prototypes_count=jnp.zeros((c, 1), jnp.float32),
+                da=da,
+                acc_train=accuracy_init(), acc_train_u=accuracy_init(),
+                log_sums={k: jnp.zeros((), jnp.float32)
+                          for k in LOG_KEYS},
+                log_count=jnp.zeros((), jnp.float32),
+            )
+
+        return jax.jit(make)(rng)
 
     # ------------------------------------------------------------------
     def _views(self, rng, imgs_l, tabs_l, imgs_u, tabs_u, marg_l, marg_u):

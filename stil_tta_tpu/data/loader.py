@@ -121,8 +121,9 @@ class HostStream:
         self.sharding = sharding
 
     def _assemble(self, idx: np.ndarray, w: np.ndarray) -> dict:
+        from stil_tta_tpu.data import native_loader
         batch = {
-            "images": np.asarray(self.source.images[idx]),
+            "images": native_loader.gather_rows(self.source.images, idx),
             "tabular": self.source.tabular[idx],
             "labels": self.source.labels[idx].astype(np.int32),
             "labelled": self.source.labelled[idx],

@@ -166,7 +166,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, encoder_hidden_states=None, mask=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, return_attn: bool = False):
         def dp(t):
             if self.drop_path == 0.0 or deterministic:
                 return t
@@ -174,9 +174,14 @@ class Block(nn.Module):
                              self.make_rng("dropout"))
 
         h = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = x + dp(Attention(self.num_heads, self.qkv_bias, self.attn_drop,
+        attn_out = Attention(self.num_heads, self.qkv_bias, self.attn_drop,
                              self.drop, dtype=self.dtype, name="attn")(
-            h, mask=mask, deterministic=deterministic))
+            h, mask=mask, deterministic=deterministic,
+            return_attn=return_attn)
+        attn_map = None
+        if return_attn:
+            attn_out, attn_map = attn_out
+        x = x + dp(attn_out)
         if self.is_cross_attention:
             assert encoder_hidden_states is not None
             h = LayerNorm(dtype=self.dtype, name="cross_norm")(x)
@@ -189,6 +194,8 @@ class Block(nn.Module):
         x = x + dp(Mlp(int(dim * self.mlp_ratio), drop=self.drop,
                        dtype=self.dtype, name="mlp")(
             h, deterministic=deterministic))
+        if return_attn:
+            return x, attn_map
         return x
 
 

@@ -118,15 +118,25 @@ class TabularTransformerEncoder(nn.Module):
 
     def __call__(self, x: jax.Array, missing_mask: Optional[jax.Array] = None,
                  mask_special: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> jax.Array:
+                 deterministic: bool = True,
+                 return_attn: bool = False) -> jax.Array:
         tokens = self.embed(x, mask_special=mask_special,
                             deterministic=deterministic)
         attn_mask = None
         if missing_mask is not None:
             attn_mask = build_attention_mask(missing_mask)
+        attn_maps = []
         for block in self.blocks:
             tokens = block(tokens, mask=attn_mask,
-                           deterministic=deterministic)
+                           deterministic=deterministic,
+                           return_attn=return_attn)
+            if return_attn:
+                tokens, attn = tokens
+                attn_maps.append(attn)
+        if return_attn:
+            # attention-map capture for visualisation (the reference's
+            # save_attention hooks, ``Transformer.py:48-61``)
+            return tokens, attn_maps
         return tokens
 
 
