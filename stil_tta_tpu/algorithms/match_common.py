@@ -233,13 +233,16 @@ class MatchBase:
     # ------------------------------------------------------------------
     def make_eval_step(self):
         net, aug = self.net, self.aug_eval
+        from stil_tta_tpu.data.loader import gather_batch
 
-        def step(params, batch_stats, images, tabular):
-            imgs = aug(jax.random.key(0), images)
+        def step(params, batch_stats, cache, idx):
+            batch = gather_batch(cache, idx)
+            imgs = aug(jax.random.key(0), batch["images"])
             out = net.apply({"params": params, "batch_stats": batch_stats},
-                            imgs, tabular, train=False)
+                            imgs, batch["tabular"], train=False)
             logits = out[0] if isinstance(out, tuple) else out
-            return {"prob_m": jax.nn.softmax(logits, axis=1)}
+            return {"prob_m": jax.nn.softmax(logits, axis=1),
+                    "labels": batch["labels"]}
 
         return jax.jit(step)
 

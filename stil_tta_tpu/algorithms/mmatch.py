@@ -106,14 +106,16 @@ class MMatch(MatchBase):
     def make_eval_step(self):
         net, aug = self.net, self.aug_eval
 
-        def step(params, batch_stats, images, tabular):
-            imgs = aug(jax.random.key(0), images)
+        def step(params, batch_stats, cache, idx):
+            batch = gather_batch(cache, idx)
+            imgs = aug(jax.random.key(0), batch["images"])
             om, oi, ot, _ = net.apply(
                 {"params": params, "batch_stats": batch_stats}, imgs,
-                tabular, train=False)
+                batch["tabular"], train=False)
             return {"prob_m": jax.nn.softmax(om, axis=1),
                     "prob_i": jax.nn.softmax(oi, axis=1),
-                    "prob_t": jax.nn.softmax(ot, axis=1)}
+                    "prob_t": jax.nn.softmax(ot, axis=1),
+                    "labels": batch["labels"]}
 
         return jax.jit(step)
 

@@ -32,4 +32,7 @@ def get_algorithm(name: str):
     if name == "CoTrain_Pseudo_SAINT":
         from stil_tta_tpu.algorithms.cotrain import CoTrainSAINT
         return CoTrainSAINT
+    if name == "Supervised":
+        from stil_tta_tpu.algorithms.supervised import Supervised
+        return Supervised
     raise ValueError(f"Algorithm name not found: {name}")

@@ -437,13 +437,25 @@ class STiL:
 
     # ------------------------------------------------------------------
     def epoch_end(self, state: STiLState):
-        """Prototype normalisation (``STiLModel.py:408-415``); asserts
-        every class received at least one confident sample."""
+        """Prototype normalisation (``STiLModel.py:408-415``); the
+        reference asserts every class received at least one confident
+        sample per epoch. ``strict_prototypes: false`` relaxes this to
+        keep the previous prototype for empty classes (useful for small
+        epochs; the assert semantics stay the default)."""
         count = np.asarray(state.prototypes_count)
-        assert (count >= 1).all(), (
-            f"classes with no prototype mass this epoch: "
-            f"{np.where(count[:, 0] < 1)[0].tolist()}")
-        protos = jnp.asarray(state.prototypes_sum) / jnp.asarray(count)
+        strict = self.cfg.strict_prototypes
+        if strict is None or strict:
+            assert (count >= 1).all(), (
+                f"classes with no prototype mass this epoch: "
+                f"{np.where(count[:, 0] < 1)[0].tolist()}")
+            protos = jnp.asarray(state.prototypes_sum) / jnp.asarray(count)
+        else:
+            seen = count >= 1
+            protos = jnp.where(
+                jnp.asarray(seen),
+                jnp.asarray(state.prototypes_sum)
+                / jnp.clip(jnp.asarray(count), 1.0),
+                state.prototypes)
         logs = {k: float(v) / max(float(state.log_count), 1.0)
                 for k, v in state.log_sums.items()}
         logs["eval.train.acc"] = float(state.acc_train.correct
@@ -468,15 +480,16 @@ class STiL:
         net = self.net
         aug = self.aug_eval
 
-        def step(params, batch_stats, images, tabular):
-            imgs = aug(jax.random.key(0), images)  # deterministic resize
+        def step(params, batch_stats, cache, idx):
+            batch = gather_batch(cache, idx)
+            imgs = aug(jax.random.key(0), batch["images"])  # resize only
             outs = net.apply({"params": params, "batch_stats": batch_stats},
-                             imgs, tabular, train=False)
+                             imgs, batch["tabular"], train=False)
             return {
                 "prob_m": jax.nn.softmax(outs["out_m"], axis=1),
                 "prob_i": jax.nn.softmax(outs["out_i"], axis=1),
                 "prob_t": jax.nn.softmax(outs["out_t"], axis=1),
-                "feat_i": outs["feat_i"], "feat_t": outs["feat_t"],
+                "labels": batch["labels"],
             }
 
         return jax.jit(step)

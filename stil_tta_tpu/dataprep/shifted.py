@@ -40,8 +40,8 @@ def js_divergence(p: np.ndarray, q: np.ndarray, bins: int = 30) -> float:
 
     def kl(a, b):
         mask = a > 0
-        return float(np.sum(a[mask] * np.log(a[mask]
-                                             / np.clip(b[mask], 1e-12))))
+        return float(np.sum(a[mask] * np.log(
+            a[mask] / np.clip(b[mask], 1e-12, None))))
 
     return 0.5 * kl(hp, m) + 0.5 * kl(hq, m)
 

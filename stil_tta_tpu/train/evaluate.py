@@ -64,17 +64,19 @@ def run_validation(eval_step, params, batch_stats, cache, batch_size,
                    num_classes, prefix="eval.val") -> Dict[str, float]:
     n = int(cache["labels"].shape[0])
     sampler = EpochSampler(n, batch_size, shuffle=False, drop_last=False)
-    probs_m, probs_i, probs_t, ys, ws = [], [], [], [], []
+    probs_m, probs_i, probs_t, ys = [], [], [], []
+    outs = []
     for idx, w in sampler.epoch():
-        images = jnp.take(cache["images"], idx, axis=0)
-        tabular = jnp.take(cache["tabular"], idx, axis=0)
-        out = eval_step(params, batch_stats, images, tabular)
+        # async dispatch; fetch after the loop so device work pipelines
+        outs.append((eval_step(params, batch_stats, cache,
+                               jnp.asarray(idx)), w))
+    for out, w in outs:
         keep = w > 0
         probs_m.append(np.asarray(out["prob_m"])[keep])
         if "prob_i" in out:
             probs_i.append(np.asarray(out["prob_i"])[keep])
             probs_t.append(np.asarray(out["prob_t"])[keep])
-        ys.append(np.asarray(cache["labels"])[idx[keep]])
+        ys.append(np.asarray(out["labels"])[keep])
     y = np.concatenate(ys)
     metrics = compute_eval_metrics(np.concatenate(probs_m), y, num_classes,
                                    prefix)
@@ -123,6 +125,14 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
     sample_tab = jnp.asarray(src_l.tabular[:2])
     state = algo.init_state(rng, sample_img, sample_tab)
 
+    if cfg.resume_training and cfg.checkpoint:
+        # resume full training state (params/EMA/opt/buffers/step) from
+        # the checkpoint — reference ``run.py:48-63`` + Lightning restore
+        ckpt = Path(cfg.checkpoint)
+        state = restore_checkpoint(ckpt.parent, state, name=ckpt.name)
+        print(f"Resumed training state from {ckpt} at step "
+              f"{int(state.step)}")
+
     train_step = algo.make_train_step()
     eval_step = algo.make_eval_step()
 
@@ -147,9 +157,10 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
     max_epochs = int(cfg.max_epochs)
     steps_per_epoch = u_sampler.steps_per_epoch()
     cfg.dataset_length = steps_per_epoch
+    start_epoch_idx = int(state.step) // max(steps_per_epoch, 1)
     history = []
     val_metric_value = None
-    for epoch in range(max_epochs):
+    for epoch in range(start_epoch_idx, max_epochs):
         lr = optim.scheduled_lr(cfg, epoch, val_metric_value, plateau)
         optim.set_learning_rate(state.opt_state, lr)
         t0 = time.time()

@@ -23,6 +23,7 @@ def cfg(tmp_path):
         "multimodal_embedding_dim=32",
         "tabular_transformer_num_layers=1", "projection_dim=8",
         "test_and_eval=true", "tta=false", "enable_progress_bar=false",
+        "strict_prototypes=false",
     ])
     cfg.logdir = str(tmp_path / "run")
     return cfg
