@@ -125,8 +125,12 @@ class MatchBase:
             self.net = ImagingNet(
                 encoder=cfg.model, num_classes=self.num_classes,
                 projection_dim=int(cfg.projection_dim), dtype=dtype)
+        from stil_tta_tpu.train.optim import encoder_freeze_fn
+        freeze = encoder_freeze_fn if (
+            cfg.finetune_strategy == "frozen" and cfg.checkpoint) else None
         self.tx = build_optimizer(float(cfg.lr_eval),
-                                  float(cfg.weight_decay_eval or 0.0))
+                                  float(cfg.weight_decay_eval or 0.0),
+                                  freeze_fn=freeze)
         img_size, target = int(cfg.img_size), cfg.target
         self.aug_labeled = hard_eval_pipeline(img_size, target)
         self.aug_weak = weak_pipeline(img_size, target)

@@ -184,8 +184,12 @@ class STiL:
             drop_rate=float(cfg.drop_rate or 0.0),
             tabular_encoder=self.tabular_encoder,
             dtype=dtype)
+        from stil_tta_tpu.train.optim import encoder_freeze_fn
+        freeze = encoder_freeze_fn if (
+            cfg.finetune_strategy == "frozen" and cfg.checkpoint) else None
         self.tx = build_optimizer(float(cfg.lr_eval),
-                                  float(cfg.weight_decay_eval or 0.0))
+                                  float(cfg.weight_decay_eval or 0.0),
+                                  freeze_fn=freeze)
         target = cfg.target
         img_size = int(cfg.img_size)
         self.aug_train = contrastive_pipeline(
@@ -484,7 +488,8 @@ class STiL:
             batch = gather_batch(cache, idx)
             imgs = aug(jax.random.key(0), batch["images"])  # resize only
             outs = net.apply({"params": params, "batch_stats": batch_stats},
-                             imgs, batch["tabular"], train=False)
+                             imgs, batch["tabular"], train=False,
+                             missing_mask=batch.get("missing"))
             return {
                 "prob_m": jax.nn.softmax(outs["out_m"], axis=1),
                 "prob_i": jax.nn.softmax(outs["out_i"], axis=1),

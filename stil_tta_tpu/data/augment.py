@@ -183,12 +183,37 @@ def _resize_matrix(src0: Array, src_len: Array, in_len: int, out_len: int,
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - j[None, :]))
 
 
+def _compose_blur(r: Array, w: Array) -> Array:
+    """Fold a separable Gaussian into a resampling matrix.
+
+    blur-then-resample is linear along each axis, so
+    ``C[s, m] = sum_k w[k] * R[s, m - k + half]`` — the 29-tap blur
+    collapses into the (S, H) matrix instead of 58 full-resolution VPU
+    passes over the image. Rows are renormalised (approximates the
+    reference's reflect border at the edges)."""
+    k = w.shape[0]
+    half = k // 2
+    s, h = r.shape
+    rp = jnp.pad(r, ((0, 0), (half, half)))
+    c = jnp.zeros_like(r)
+    for i in range(k):
+        # C[:, m] += w[i] * R[:, m - i + half]  (window slides over pad)
+        c = c + w[i] * jax.lax.dynamic_slice_in_dim(
+            rp, k - 1 - i, h, axis=1)
+    return c / jnp.clip(jnp.sum(c, axis=1, keepdims=True), 1e-8)
+
+
 def crop_resize_flip(img: Array, y0, x0, ch, cw, out_size: int,
-                     flip) -> Array:
-    """MXU path: out = Ry @ img @ Rx^T (single image; vmapped by caller)."""
+                     flip, blur_w: Optional[Array] = None) -> Array:
+    """MXU path: out = Ry @ img @ Rx^T (single image; vmapped by caller).
+    With ``blur_w`` (a normalised 1-D Gaussian), the blur is composed
+    into both resampling matrices."""
     h, w, _ = img.shape
     ry = _resize_matrix(y0, ch, h, out_size)
     rx = _resize_matrix(x0, cw, w, out_size, flip=flip)
+    if blur_w is not None:
+        ry = _compose_blur(ry, blur_w)
+        rx = _compose_blur(rx, blur_w)
     tmp = jnp.einsum("sh,hwc->swc", ry, img,
                      preferred_element_type=jnp.float32)
     return jnp.einsum("tw,swc->stc", rx, tmp,
@@ -279,10 +304,22 @@ class AugmentPipeline:
         h, w = img.shape[0], img.shape[1]
         if self.jitter_before_crop:
             img = self._pointwise_gated(img, ks[0], ks[1], gate)
+        blur_w = None
         if self.blur_ksize > 0 and self.blur_before_crop:
-            blurred = gaussian_blur(img, ks[2], self.blur_ksize,
-                                    *self.blur_sigma, self.blur_p)
-            img = jnp.where(gate, blurred, img)
+            if self.rotate_limit == 0:
+                # compose the blur into the resize matrices (MXU path)
+                kb1, kb2 = jax.random.split(ks[2])
+                sigma = jax.random.uniform(kb1, minval=self.blur_sigma[0],
+                                           maxval=self.blur_sigma[1])
+                wk = _gaussian_kernel(sigma, self.blur_ksize)
+                half = self.blur_ksize // 2
+                delta = jnp.zeros(self.blur_ksize).at[half].set(1.0)
+                on = (jax.random.uniform(kb2) < self.blur_p) & gate
+                blur_w = jnp.where(on, wk, delta)
+            else:
+                blurred = gaussian_blur(img, ks[2], self.blur_ksize,
+                                        *self.blur_sigma, self.blur_p)
+                img = jnp.where(gate, blurred, img)
         if self.crop:
             y0, x0, ch, cw = sample_crop_box(ks[3], h, w, self.crop_scale,
                                              self.crop_ratio)
@@ -302,7 +339,8 @@ class AugmentPipeline:
             img = affine_warp(img, y0, x0, ch, cw, self.img_size, flip,
                               angle)
         else:
-            img = crop_resize_flip(img, y0, x0, ch, cw, self.img_size, flip)
+            img = crop_resize_flip(img, y0, x0, ch, cw, self.img_size,
+                                   flip, blur_w=blur_w)
         if not self.jitter_before_crop:
             img = self._pointwise_gated(img, ks[0], ks[1], gate)
         if self.blur_ksize > 0 and not self.blur_before_crop:

@@ -92,21 +92,29 @@ class DeviceCache:
         self.tabular = put(np.asarray(source.tabular, np.float32))
         self.labels = put(np.asarray(source.labels, np.int32))
         self.labelled = put(np.asarray(source.labelled))
+        self.missing = put(np.asarray(source.missing)) \
+            if source.missing is not None else None
         self.n = len(source)
 
     def as_dict(self):
-        return {"images": self.images, "tabular": self.tabular,
-                "labels": self.labels, "labelled": self.labelled}
+        d = {"images": self.images, "tabular": self.tabular,
+             "labels": self.labels, "labelled": self.labelled}
+        if self.missing is not None:
+            d["missing"] = self.missing
+        return d
 
 
 def gather_batch(cache: dict, idx: jax.Array) -> dict:
     """Device-side batch assembly (call inside jit)."""
-    return {
+    out = {
         "images": jnp.take(cache["images"], idx, axis=0),
         "tabular": jnp.take(cache["tabular"], idx, axis=0),
         "labels": jnp.take(cache["labels"], idx, axis=0),
         "labelled": jnp.take(cache["labelled"], idx, axis=0),
     }
+    if "missing" in cache:
+        out["missing"] = jnp.take(cache["missing"], idx, axis=0)
+    return out
 
 
 class HostStream:

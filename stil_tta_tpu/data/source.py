@@ -41,6 +41,9 @@ class ArraySource:
     field_lengths: List[int]
     num_classes: int
     target: str = "dvm"
+    # optional missing-feature mask (N, F) bool — the reference's
+    # missing_tabular evaluation mode (``config_dvm_STiL.yaml:42-45``)
+    missing: Optional[np.ndarray] = None
 
     def __post_init__(self):
         n = len(self.tabular)
@@ -73,6 +76,7 @@ class ArraySource:
         with open(d / "spec.json") as f:
             spec = json.load(f)
         mmap_mode = "r" if mmap else None
+        missing_path = d / "missing.npy"
         return cls(
             images=np.load(d / "images.npy", mmap_mode=mmap_mode),
             tabular=np.load(d / "tabular.npy"),
@@ -81,6 +85,8 @@ class ArraySource:
             field_lengths=list(spec["field_lengths"]),
             num_classes=int(spec["num_classes"]),
             target=spec.get("target", "dvm"),
+            missing=np.load(missing_path) if missing_path.exists()
+            else None,
         )
 
     def save(self, directory: os.PathLike) -> None:
@@ -90,6 +96,8 @@ class ArraySource:
         np.save(d / "tabular.npy", np.asarray(self.tabular, np.float32))
         np.save(d / "labels.npy", np.asarray(self.labels, np.int64))
         np.save(d / "labelled.npy", np.asarray(self.labelled, bool))
+        if self.missing is not None:
+            np.save(d / "missing.npy", np.asarray(self.missing, bool))
         with open(d / "spec.json", "w") as f:
             json.dump({
                 "field_lengths": [int(x) for x in self.field_lengths],

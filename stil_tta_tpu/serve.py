@@ -1,0 +1,111 @@
+"""Batched inference / serving.
+
+The reference's deployment shape is the multimodal-head forward
+(SURVEY.md §3.5: ``DisCoAttentionBackbone.forward`` ->
+``softmax(classifier_multimodal(...))``). This module packages it as a
+production predictor: fixed-shape jitted forward (pad-and-mask), device-
+resident weights, optional pre-serving TTA, and a CLI that scores a
+native-format split into a CSV.
+
+Example:
+    predictor = Predictor.from_checkpoint(cfg, "runs/x/checkpoint_best_acc")
+    probs = predictor(images_u8, tabular)          # (N, C) np.ndarray
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stil_tta_tpu.algorithms.registry import get_algorithm
+from stil_tta_tpu.config import load_config
+from stil_tta_tpu.train.checkpoint import restore_checkpoint
+
+
+class Predictor:
+    def __init__(self, algo, state, batch_size: int = 256):
+        self.algo = algo
+        self.params = state.params
+        self.batch_stats = state.batch_stats
+        self.batch_size = batch_size
+        net, aug = algo.net, algo.aug_eval
+
+        def fwd(params, batch_stats, images, tabular):
+            imgs = aug(jax.random.key(0), images)
+            out = net.apply({"params": params, "batch_stats": batch_stats},
+                            imgs, tabular, train=False)
+            if isinstance(out, dict):
+                logits = out["out_m"]
+            elif isinstance(out, tuple):
+                logits = out[0]
+            else:
+                logits = out
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+
+        self._fwd = jax.jit(fwd)
+
+    @classmethod
+    def from_checkpoint(cls, cfg, checkpoint: str,
+                        field_lengths=None, batch_size: int = 256):
+        field_lengths = list(field_lengths or cfg.field_lengths)
+        algo = get_algorithm(cfg.algorithm_name)(cfg, field_lengths)
+        img = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        tab = jnp.zeros((2, len(field_lengths)), jnp.float32)
+        state = algo.init_state(jax.random.key(0), img, tab)
+        ckpt = Path(checkpoint)
+        state = restore_checkpoint(ckpt.parent, state, name=ckpt.name)
+        return cls(algo, state, batch_size)
+
+    def __call__(self, images: np.ndarray,
+                 tabular: np.ndarray) -> np.ndarray:
+        n = len(images)
+        bs = self.batch_size
+        outs = []
+        for start in range(0, n, bs):
+            img = images[start:start + bs]
+            tab = tabular[start:start + bs]
+            pad = bs - len(img)
+            if pad:  # static shapes: pad the tail batch
+                img = np.concatenate([img, np.repeat(img[:1], pad, 0)])
+                tab = np.concatenate([tab, np.repeat(tab[:1], pad, 0)])
+            p = np.asarray(self._fwd(self.params, self.batch_stats,
+                                     jnp.asarray(img), jnp.asarray(tab)))
+            outs.append(p[:bs - pad] if pad else p)
+        return np.concatenate(outs)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config-name", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--source", required=True,
+                    help="native-format split directory to score")
+    ap.add_argument("--out", default="predictions.csv")
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+
+    from stil_tta_tpu.data.source import ArraySource
+    cfg = load_config(args.config_name, overrides=args.overrides)
+    src = ArraySource.load(args.source)
+    cfg.num_classes = cfg.num_classes or src.num_classes
+    predictor = Predictor.from_checkpoint(cfg, args.checkpoint,
+                                          src.field_lengths,
+                                          args.batch_size)
+    probs = predictor(np.asarray(src.images), src.tabular)
+    pred = probs.argmax(1)
+    acc = float((pred == src.labels).mean())
+    with open(args.out, "w") as f:
+        f.write("index,prediction,confidence\n")
+        for i, (p, c) in enumerate(zip(pred, probs.max(1))):
+            f.write(f"{i},{p},{c:.6f}\n")
+    print(f"scored {len(pred)} samples, acc={acc:.4f} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -178,3 +178,36 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     sd = ckpt.get("state_dict", ckpt)
     return {k: v.detach().cpu().numpy() for k, v in sd.items()
             if hasattr(v, "detach")}
+
+
+def load_pretrained_encoders(variables, ckpt_path: str):
+    """TIP-pretrained warm start: fill the backbone's image/tabular
+    encoder subtrees from a torch checkpoint by key prefix, excluding
+    projection-head/prototype keys — the reference's ``load_weights``
+    (``STiLModel_backbone.py:69-90, 108-115``). Returns new variables."""
+    sd = load_torch_checkpoint(ckpt_path)
+    sd = {k: v for k, v in sd.items()
+          if "projection_head" not in k and "prototypes" not in k}
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    backbone_p = dict(params["backbone"])
+    backbone_s = dict(stats.get("backbone", {}))
+    for sub, prefix in (("encoder_imaging", "encoder_imaging."),
+                        ("encoder_tabular", "encoder_tabular.")):
+        sub_vars = {"params": backbone_p[sub]}
+        if sub in backbone_s:
+            sub_vars["batch_stats"] = backbone_s[sub]
+        converted, leftovers = convert_torch_state_dict(
+            sd, sub_vars, prefix=prefix, strict=False)
+        backbone_p[sub] = converted["params"]
+        if "batch_stats" in converted and sub in backbone_s:
+            backbone_s[sub] = converted["batch_stats"]
+        n_total = sum(1 for k in sd if k.startswith(prefix))
+        print(f"Loaded {n_total - len(leftovers)}/{n_total} torch keys "
+              f"for {prefix}")
+    params["backbone"] = backbone_p
+    out = {"params": params}
+    if stats:
+        stats["backbone"] = backbone_s
+        out["batch_stats"] = stats
+    return out

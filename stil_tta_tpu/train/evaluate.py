@@ -132,6 +132,17 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         state = restore_checkpoint(ckpt.parent, state, name=ckpt.name)
         print(f"Resumed training state from {ckpt} at step "
               f"{int(state.step)}")
+    elif cfg.checkpoint and str(cfg.checkpoint).endswith((".ckpt", ".pth")):
+        # TIP-pretrained torch warm start of the encoders
+        # (``STiLModel_backbone.py:69-90``)
+        import dataclasses as _dc
+        from stil_tta_tpu.train.convert import load_pretrained_encoders
+        variables = load_pretrained_encoders(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            str(cfg.checkpoint))
+        state = _dc.replace(state, params=variables["params"],
+                            batch_stats=variables.get("batch_stats",
+                                                      state.batch_stats))
 
     train_step = algo.make_train_step()
     eval_step = algo.make_eval_step()
@@ -195,6 +206,12 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
                 if bad_epochs >= patience:
                     print(f"Early stopping at epoch {epoch}")
                     break
+        if cfg.checkpoint_every_n_epochs and \
+                (epoch + 1) % int(cfg.checkpoint_every_n_epochs) == 0:
+            # crash-recovery snapshot (resume with
+            # resume_training=True checkpoint=<logdir>/checkpoint_last)
+            save_checkpoint(logdir, state, cfg.to_dict(),
+                            name="checkpoint_last")
 
     logger.log({f"best.val.{eval_metric}": best}, step=max_epochs)
     logger.dump_csv("eval_results.csv")

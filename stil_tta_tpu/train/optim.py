@@ -22,7 +22,12 @@ import optax
 
 def build_optimizer(lr: float, weight_decay: float = 0.0,
                     b1: float = 0.9, b2: float = 0.999,
-                    eps: float = 1e-8) -> optax.GradientTransformation:
+                    eps: float = 1e-8,
+                    freeze_fn=None) -> optax.GradientTransformation:
+    """torch.optim.Adam-parity optimizer. ``freeze_fn(params) -> bool
+    pytree`` marks leaves whose updates are zeroed (the reference's
+    ``finetune_strategy: frozen`` encoder freeze,
+    ``STiLModel_backbone.py:79-84``)."""
     def make(learning_rate):
         txs = []
         if weight_decay:
@@ -30,9 +35,23 @@ def build_optimizer(lr: float, weight_decay: float = 0.0,
             txs.append(optax.add_decayed_weights(weight_decay))
         txs.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
         txs.append(optax.scale_by_learning_rate(learning_rate))
+        if freeze_fn is not None:
+            txs.append(optax.masked(optax.set_to_zero(), freeze_fn))
         return optax.chain(*txs)
 
     return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+def encoder_freeze_fn(params):
+    """True for every leaf under the backbone's image/tabular encoders."""
+    import jax
+
+    def mark(path, _):
+        names = [str(getattr(p, "key", "")) for p in path]
+        return any(n in ("encoder_imaging", "encoder_tabular")
+                   for n in names)
+
+    return jax.tree_util.tree_map_with_path(mark, params)
 
 
 def set_learning_rate(opt_state, lr: float):

@@ -1,0 +1,63 @@
+"""TTA (Tent / BN-adapt) tests: adaptation changes exactly the intended
+state and runs end-to-end through the test driver."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stil_tta_tpu.algorithms.registry import get_algorithm
+from stil_tta_tpu.data.loader import DeviceCache
+from stil_tta_tpu.tta import adapt
+from stil_tta_tpu.tta.tent import bn_param_mask, entropy
+from tests.helpers import IMG, tiny_cfg, tiny_data
+
+
+def _setup(strategy):
+    cfg = tiny_cfg("config_dvm_STiL", tta="true")
+    cfg.tta_strategy = strategy
+    cfg.tta_steps = 1
+    algo = get_algorithm("STiL")(cfg, cfg.field_lengths)
+    src, _ = tiny_data(n_l=12)
+    cache = DeviceCache(src).as_dict()
+    state = algo.init_state(jax.random.key(0),
+                            jnp.zeros((2, IMG, IMG, 3), jnp.float32),
+                            jnp.asarray(src.tabular[:2]))
+    return cfg, algo, state, cache
+
+
+def test_bn_adapt_changes_stats_not_params():
+    cfg, algo, state, cache = _setup("bn_adapt")
+    new_state = adapt(cfg, algo, state, cache)
+    same_params = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        state.params, new_state.params))
+    assert same_params
+    stats_changed = not jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        state.batch_stats, new_state.batch_stats))
+    assert stats_changed
+
+
+def test_tent_changes_only_bn_affine():
+    cfg, algo, state, cache = _setup("tent")
+    new_state = adapt(cfg, algo, state, cache)
+    mask = bn_param_mask(state.params)
+    flat_old = jax.tree_util.tree_leaves_with_path(state.params)
+    changed_nonbn = []
+    for (path, old), (_, new), (_, m) in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree_util.tree_flatten_with_path(new_state.params)[0],
+            jax.tree_util.tree_flatten_with_path(mask)[0]):
+        equal = np.array_equal(np.asarray(old), np.asarray(new))
+        if not m:
+            assert equal, f"non-BN param changed: {path}"
+        else:
+            changed_nonbn.append(not equal)
+    assert any(changed_nonbn), "no BN affine param changed"
+
+
+def test_entropy_definition():
+    p = jnp.asarray([[0.5, 0.5], [1.0, 0.0]])
+    e = np.asarray(entropy(p))
+    np.testing.assert_allclose(e[0], np.log(2), rtol=1e-5)
+    np.testing.assert_allclose(e[1], 0.0, atol=1e-6)
