@@ -107,6 +107,47 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+def _space_to_depth_conv1(x, kernel, dtype):
+    """conv 7x7/s2/p3 on 3 channels, computed as a 4x4/s1 conv on the
+    2x2 space-to-depth input.
+
+    The MXU wants deep contractions; a 3-channel conv runs at ~3/128
+    efficiency. Re-laying the input as (H/2, W/2, 12) and scattering the
+    (7,7,3,O) kernel into an equivalent (4,4,12,O) kernel is *exactly*
+    the same sum (out[i,j] = sum W[2p+a+3, 2q+b+3, c] x[2(i+p)+a, ...])
+    with a 16x deeper contraction. Parameters keep the torch-compatible
+    (7,7,3,O) layout; the transform happens in-graph at trace time.
+    """
+    b, h, w, c = x.shape
+    o = kernel.shape[-1]
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    # scatter W[di,dj,c,o] -> W'[p+2,q+2,(a*2+b)*c..,o], di=2p+a+3
+    kp = jnp.zeros((4, 4, 2, 2, c, o), kernel.dtype)
+    for di in range(7):
+        p, a = divmod(di - 3 + 4, 2)  # di-3 = 2(p-2)+a
+        for dj in range(7):
+            q, bb = divmod(dj - 3 + 4, 2)
+            kp = kp.at[p, q, a, bb].set(kernel[di, dj])
+    kp = kp.reshape(4, 4, 4 * c, o)
+    return jax.lax.conv_general_dilated(
+        xs.astype(dtype), kp.astype(dtype), window_strides=(1, 1),
+        padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _StemKernel(nn.Module):
+    """Owns the (7,7,C,64) conv1 kernel at the torch-compatible tree
+    path ``conv1/kernel`` for the space-to-depth stem."""
+
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_kaiming_conv_init,
+                          (7, 7, self.in_ch, 64))
+
+
 class ResNet(nn.Module):
     """NHWC ResNet with the reference's dual output contract.
 
@@ -122,14 +163,21 @@ class ResNet(nn.Module):
     width_per_group: int = 64
     first_conv: bool = True
     maxpool1: bool = True
+    space_to_depth: bool = True  # MXU-efficient stem (exact math)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         if self.first_conv:
-            x = Conv(64, (7, 7), strides=2, padding=3, dtype=self.dtype,
-                     name="conv1")(x)
+            if self.space_to_depth and x.shape[1] % 2 == 0 \
+                    and x.shape[2] % 2 == 0:
+                kernel = _StemKernel(in_ch=x.shape[-1],
+                                     name="conv1")()
+                x = _space_to_depth_conv1(x, kernel, self.dtype)
+            else:
+                x = Conv(64, (7, 7), strides=2, padding=3,
+                         dtype=self.dtype, name="conv1")(x)
         else:
             x = Conv(64, (3, 3), strides=1, padding=1, dtype=self.dtype,
                      name="conv1")(x)
@@ -180,12 +228,38 @@ def resnet152(**kw):
     return ResNet(block=Bottleneck, layers=(3, 8, 36, 3), **kw)
 
 
+def resnext50_32x4d(**kw):
+    """``resnets.py:344-352``."""
+    return ResNet(block=Bottleneck, layers=(3, 4, 6, 3), groups=32,
+                  width_per_group=4, **kw)
+
+
+def resnext101_32x8d(**kw):
+    return ResNet(block=Bottleneck, layers=(3, 4, 23, 3), groups=32,
+                  width_per_group=8, **kw)
+
+
+def wide_resnet50_2(**kw):
+    """``resnets.py:356-371`` (width_per_group doubled)."""
+    return ResNet(block=Bottleneck, layers=(3, 4, 6, 3),
+                  width_per_group=128, **kw)
+
+
+def wide_resnet101_2(**kw):
+    return ResNet(block=Bottleneck, layers=(3, 4, 23, 3),
+                  width_per_group=128, **kw)
+
+
 _ENCODERS: dict[str, Callable[..., ResNet]] = {
     "resnet18": resnet18,
     "resnet34": resnet34,
     "resnet50": resnet50,
     "resnet101": resnet101,
     "resnet152": resnet152,
+    "resnext50_32x4d": resnext50_32x4d,
+    "resnext101_32x8d": resnext101_32x8d,
+    "wide_resnet50_2": wide_resnet50_2,
+    "wide_resnet101_2": wide_resnet101_2,
 }
 
 EMBEDDING_DIM = {  # pooled_dim per encoder (``STiLModel.py:37``)
@@ -194,15 +268,32 @@ EMBEDDING_DIM = {  # pooled_dim per encoder (``STiLModel.py:37``)
     "resnet50": 2048,
     "resnet101": 2048,
     "resnet152": 2048,
+    "resnext50_32x4d": 2048,
+    "resnext101_32x8d": 2048,
+    "wide_resnet50_2": 2048,
+    "wide_resnet101_2": 2048,
+    "vit_small": 384,
+    "vit_base": 768,
 }
 
 
 def image_encoder(name: str, return_all_feature_maps: bool = False,
-                  dtype: Any = jnp.bfloat16) -> ResNet:
+                  dtype: Any = jnp.bfloat16):
     """``torchvision_ssl_encoder`` equivalent
-    (``models/self_supervised.py:8-15``): encoder with no fc head."""
+    (``models/self_supervised.py:8-15``): encoder with no fc head.
+    Unlike the reference, vit_small/vit_base resolve to a real encoder
+    (the reference ships those configs but no implementation —
+    SURVEY.md §2.8)."""
+    if name.startswith("vit"):
+        from stil_tta_tpu.models import vit
+        ctor = {"vit_small": vit.vit_small, "vit_base": vit.vit_base}
+        if name not in ctor:
+            raise ValueError(f"Unknown ViT variant '{name}'")
+        return ctor[name](return_all_feature_maps=return_all_feature_maps,
+                          dtype=dtype)
     if name not in _ENCODERS:
         raise ValueError(
-            f"Unknown image encoder '{name}'. Available: {sorted(_ENCODERS)}")
+            f"Unknown image encoder '{name}'. Available: "
+            f"{sorted(_ENCODERS)}")
     return _ENCODERS[name](return_all_feature_maps=return_all_feature_maps,
                            dtype=dtype)

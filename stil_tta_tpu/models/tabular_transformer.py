@@ -146,3 +146,58 @@ def split_field_lengths(field_lengths: Sequence[int]):
     cat = [int(x) for x in field_lengths if int(x) > 1]
     con = [1 for x in field_lengths if int(x) == 1]
     return cat, con
+
+
+class MultimodalTransformerEncoder(nn.Module):
+    """TIP's cross-attention multimodal encoder
+    (``Transformer.py:281-327``). Defined-unused by the reference's
+    algorithms (kept for TIP checkpoint compatibility, SURVEY.md §2.3);
+    fully functional here.
+
+    Tabular tokens cross-attend over projected image features."""
+
+    embedding_dim: int = 2048           # image feature dim
+    multimodal_embedding_dim: int = 512
+    tabular_embedding_dim: int = 512
+    num_layers: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, image_features, deterministic: bool = True):
+        if image_features.ndim == 4:  # (B,H,W,C) map -> (B,HW,C)
+            b, h, w, c = image_features.shape
+            image_features = image_features.reshape(b, h * w, c)
+        img = Dense(self.multimodal_embedding_dim, dtype=self.dtype,
+                    name="image_proj")(image_features)
+        img = LayerNorm(dtype=self.dtype, name="image_norm")(img)
+        if self.tabular_embedding_dim != self.multimodal_embedding_dim:
+            x = Dense(self.multimodal_embedding_dim, dtype=self.dtype,
+                      name="tabular_proj")(x)
+        for i in range(self.num_layers):
+            x = Block(num_heads=8, is_cross_attention=True,
+                      dtype=self.dtype, name=f"block_{i}")(
+                x, encoder_hidden_states=img,
+                deterministic=deterministic)
+        return LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
+class TabularPredictor(nn.Module):
+    """Masked tabular reconstruction head (``Transformer.py:331-364``):
+    categorical classifier over all unique category values + continuous
+    regressor, applied to the post-CLS tokens."""
+
+    cat_lengths: Sequence[int]
+    con_lengths: Sequence[int]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        num_cat = len(self.cat_lengths)
+        num_unique = int(sum(self.cat_lengths))
+        x = x[:, 1:, :]  # drop CLS
+        cat_out = Dense(num_unique, dtype=jnp.float32,
+                        name="cat_classifier")(
+            x[:, :num_cat].astype(jnp.float32))
+        con_out = Dense(1, dtype=jnp.float32, name="con_regressor")(
+            x[:, num_cat:].astype(jnp.float32))
+        return cat_out, con_out
