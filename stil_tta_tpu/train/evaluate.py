@@ -114,6 +114,10 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
     l_batch = max(batch_size // (1 + ur), 1)
     u_batch = batch_size - l_batch
     cfg.repeat_ratio = max(len(src_u) // (ur * max(len(src_l), 1)) - 1, 1)
+    if cfg.algorithm_name == "SimMatch" and not cfg.K:
+        # instance bank holds one embedding per labeled sample
+        # (``trainers/evaluate.py:60-61``)
+        cfg.K = len(src_l)
 
     algo = get_algorithm(cfg.algorithm_name)(cfg, field_lengths)
     cache_l = DeviceCache(src_l).as_dict()

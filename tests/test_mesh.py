@@ -1,0 +1,60 @@
+"""SPMD correctness: the fused STiL step under an 8-device data-parallel
+mesh produces the same result as the unsharded step (GSPMD inserts the
+collectives; semantics must not change — SURVEY.md §2.7)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stil_tta_tpu.algorithms.registry import get_algorithm
+from stil_tta_tpu.data.loader import DeviceCache
+from stil_tta_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                        replicate)
+from tests.helpers import IMG, tiny_cfg, tiny_data
+
+
+def _max_abs_diff(a, b):
+    leaves = jax.tree_util.tree_map(
+        lambda x, y: float(np.max(np.abs(
+            np.asarray(x, np.float32) - np.asarray(y, np.float32)))),
+        a, b)
+    return max(jax.tree_util.tree_leaves(leaves))
+
+
+def test_sharded_step_matches_unsharded():
+    assert len(jax.devices()) >= 8
+    cfg = tiny_cfg("config_dvm_STiL")
+    algo = get_algorithm("STiL")(cfg, cfg.field_lengths)
+    src_l, src_u = tiny_data(n_l=16, n_u=32)
+
+    def run(sharded: bool):
+        cache_l = DeviceCache(src_l).as_dict()
+        cache_u = DeviceCache(src_u).as_dict()
+        state = algo.init_state(jax.random.key(0),
+                                jnp.zeros((2, IMG, IMG, 3), jnp.float32),
+                                jnp.asarray(src_l.tabular[:2]))
+        idx_l = jnp.arange(8, dtype=jnp.int32)
+        idx_u = jnp.arange(16, dtype=jnp.int32)
+        if sharded:
+            mesh = create_mesh(8)
+            bsh = batch_sharding(mesh)
+            cache_l = replicate(mesh, cache_l)
+            cache_u = replicate(mesh, cache_u)
+            state = replicate(mesh, state)
+            idx_l = jax.device_put(idx_l, bsh)
+            idx_u = jax.device_put(idx_u, bsh)
+        step = algo.make_train_step()
+        return step(state, cache_l, cache_u, idx_l, idx_u,
+                    jnp.asarray(1, jnp.int32))
+
+    single = run(False)
+    sharded = run(True)
+    assert _max_abs_diff(single.params, sharded.params) < 5e-3
+    assert _max_abs_diff(single.prototypes_sum,
+                         sharded.prototypes_sum) < 5e-3
+    for k in single.log_sums:
+        np.testing.assert_allclose(float(single.log_sums[k]),
+                                   float(sharded.log_sums[k]),
+                                   rtol=2e-2, atol=2e-3)
