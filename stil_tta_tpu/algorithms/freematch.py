@@ -94,8 +94,11 @@ class FreeMatch(MatchBase):
                     jnp.concatenate([tab_x, tab_s]), kd)
                 logits_x, logits_us = logits[:b_l], logits[b_l:]
                 loss_x = cross_entropy(logits_x, y_l)
-                loss_u = jnp.mean(soft_cross_entropy(
-                    logits_us, pseudo_label, "none") * mask)
+                # NOTE the reference applies NO confidence mask to the
+                # consistency CE (``FreeMatch.py:35, 93``: plain
+                # CrossEntropyLoss over all unlabeled samples); the mask
+                # only feeds the fairness loss and logging.
+                loss_u = soft_cross_entropy(logits_us, pseudo_label)
                 loss_e = entropy_loss(mask, logits_us, p_model, label_hist)
                 gate = (epoch > start_epoch).astype(jnp.float32)
                 total = loss_x + gate * (lambda_u * loss_u

@@ -484,17 +484,31 @@ class STiL:
         net = self.net
         aug = self.aug_eval
 
+        temp = float(self.cfg.temperature)
+        lam0 = float(self.cfg.lambda_0)
+
         def step(params, batch_stats, cache, idx):
             batch = gather_batch(cache, idx)
             imgs = aug(jax.random.key(0), batch["images"])  # resize only
             outs = net.apply({"params": params, "batch_stats": batch_stats},
                              imgs, batch["tabular"], train=False,
                              missing_mask=batch.get("missing"))
+            # val losses (``STiLModel.py:434-455``)
+            loss_itc, _, _ = clip_loss(outs["feat_i"], outs["feat_t"],
+                                       temp, lam0)
+            loss_ce = cross_entropy(outs["out_m"], batch["labels"])
+            club_i, club_i_est = club_losses(outs["mu_i"], outs["x_ai"])
+            club_t, club_t_est = club_losses(outs["mu_t"], outs["x_at"])
             return {
                 "prob_m": jax.nn.softmax(outs["out_m"], axis=1),
                 "prob_i": jax.nn.softmax(outs["out_i"], axis=1),
                 "prob_t": jax.nn.softmax(outs["out_t"], axis=1),
                 "labels": batch["labels"],
+                "losses": {"ITCloss": loss_itc, "CEloss": loss_ce,
+                           "CLUBloss_imaging": club_i,
+                           "CLUBloss_imaging_est": club_i_est,
+                           "CLUBloss_tabular": club_t,
+                           "CLUBloss_tabular_est": club_t_est},
             }
 
         return jax.jit(step)

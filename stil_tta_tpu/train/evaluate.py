@@ -70,6 +70,7 @@ def run_validation(eval_step, params, batch_stats, cache, batch_size,
         # async dispatch; fetch after the loop so device work pipelines
         outs.append((eval_step(params, batch_stats, cache,
                                jnp.asarray(idx)), w))
+    loss_sums: Dict[str, float] = {}
     for out, w in outs:
         keep = w > 0
         probs_m.append(np.asarray(out["prob_m"])[keep])
@@ -77,6 +78,8 @@ def run_validation(eval_step, params, batch_stats, cache, batch_size,
             probs_i.append(np.asarray(out["prob_i"])[keep])
             probs_t.append(np.asarray(out["prob_t"])[keep])
         ys.append(np.asarray(out["labels"])[keep])
+        for k, v in out.get("losses", {}).items():
+            loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
     y = np.concatenate(ys)
     metrics = compute_eval_metrics(np.concatenate(probs_m), y, num_classes,
                                    prefix)
@@ -94,6 +97,10 @@ def run_validation(eval_step, params, batch_stats, cache, batch_size,
             f"{prefix}_tabular.acc")
         metrics[f"{prefix}.auc_tabular"] = metrics.pop(
             f"{prefix}_tabular.auc")
+    if prefix == "eval.val":  # reference logs val losses only
+        n_batches = max(len(outs), 1)
+        for k, v in loss_sums.items():
+            metrics[f"multimodal.val.{k}"] = v / n_batches
     return metrics
 
 
@@ -150,6 +157,11 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
 
     train_step = algo.make_train_step()
     eval_step = algo.make_eval_step()
+    spd = int(cfg.steps_per_dispatch or 1)
+    scan_step = None
+    if spd > 1:
+        from stil_tta_tpu.train.multistep import make_scan_train_step
+        scan_step = make_scan_train_step(train_step, spd)
 
     u_sampler = EpochSampler(len(src_u), u_batch, shuffle=True,
                              drop_last=True, seed=int(cfg.seed or 0))
@@ -180,8 +192,17 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         optim.set_learning_rate(state.opt_state, lr)
         t0 = time.time()
         epoch_arr = jnp.asarray(epoch, jnp.int32)
-        for idx_u, _ in u_sampler.epoch():
-            idx_l, _ = l_sampler.next()
+        pairs = [(l_sampler.next()[0], idx_u)
+                 for idx_u, _ in u_sampler.epoch()]
+        if scan_step is not None:
+            from stil_tta_tpu.train.multistep import chunk_indices
+            blocks, tail = chunk_indices(pairs, spd)
+            for il_k, iu_k in blocks:
+                state = scan_step(state, cache_l, cache_u,
+                                  jnp.asarray(il_k), jnp.asarray(iu_k),
+                                  epoch_arr)
+            pairs = tail
+        for idx_l, idx_u in pairs:
             state = train_step(state, cache_l, cache_u,
                                jnp.asarray(idx_l), jnp.asarray(idx_u),
                                epoch_arr)

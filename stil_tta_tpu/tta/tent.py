@@ -85,7 +85,11 @@ def adapt(cfg, algo, state, cache):
     lr = float(cfg.tta_lr or 1e-3)
     steps = int(cfg.tta_steps or 1)
     mask = bn_param_mask(state.params)
-    tx = optax.masked(optax.adam(lr), mask)
+    not_mask = jax.tree_util.tree_map(lambda m: not m, mask)
+    # adam on the BN affine leaves; everything else hard-zeroed
+    # (optax.masked passes unmasked updates through untouched)
+    tx = optax.chain(optax.masked(optax.adam(lr), mask),
+                     optax.masked(optax.set_to_zero(), not_mask))
     opt_state = tx.init(state.params)
 
     @jax.jit

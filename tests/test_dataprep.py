@@ -58,11 +58,12 @@ def test_shifted_split_label_subset():
 
 
 def test_normal_shift_is_iid():
-    src = synthetic_source(300, num_classes=4,
+    src = synthetic_source(2000, num_classes=4,
                            field_lengths=[3, 1, 1], image_size=8)
     res = build_shifted_splits(src, make_normal_shift(frac=0.3),
-                               label_fraction=0.1)
-    assert max(v for k, v in res["report"].items()) < 0.15
+                               label_fraction=0.5)
+    # i.i.d. control: small-sample JS noise only (vs >0.3 for real shifts)
+    assert max(v for k, v in res["report"].items()) < 0.1
 
 
 def test_missing_masks():
