@@ -52,9 +52,11 @@ def compute_eval_metrics(probs: np.ndarray, labels: np.ndarray,
     else:
         out[f"{prefix}.acc"] = float((probs.argmax(1) == labels).mean())
         try:
-            out[f"{prefix}.auc"] = float(roc_auc_score(
+            auc = float(roc_auc_score(
                 labels, probs, multi_class="ovr", average="macro",
                 labels=np.arange(num_classes)))
+            # macro OVR is nan when some classes are absent in the data
+            out[f"{prefix}.auc"] = 0.0 if np.isnan(auc) else auc
         except ValueError:
             out[f"{prefix}.auc"] = 0.0
     return out

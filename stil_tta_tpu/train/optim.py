@@ -55,7 +55,10 @@ def encoder_freeze_fn(params):
 
 
 def set_learning_rate(opt_state, lr: float):
-    opt_state.hyperparams["learning_rate"] = lr
+    import jax.numpy as jnp
+    # keep a strong-typed f32 scalar so the train step's jit signature
+    # is stable (a bare python float would be weak-typed -> cache miss)
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 
