@@ -35,4 +35,7 @@ def get_algorithm(name: str):
     if name == "Supervised":
         from stil_tta_tpu.algorithms.supervised import Supervised
         return Supervised
+    if name == "TabularEval":
+        from stil_tta_tpu.algorithms.tabular_eval import TabularEval
+        return TabularEval
     raise ValueError(f"Algorithm name not found: {name}")
