@@ -8,11 +8,17 @@ the FULL fused train step (on-device augmentation + student fwd/bwd +
 EMA teacher fwd + CGPL/PGLS + all losses + Adam + prototype update).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
 ``vs_baseline`` divides by 1200 samples/sec — an estimate of the
-reference PyTorch pipeline on a single A100 for this exact shape
-(~3 ResNet-50 passes/step + CPU albumentations input path; the repo
-publishes no number, BASELINE.md). The north-star target is 5x => a
-vs_baseline of 5.0.
+reference PyTorch pipeline on one A100 (the repo publishes no number,
+BASELINE.md). Basis: the reference is input-bound, not compute-bound —
+10 dataloader workers run albumentations per sample (ColorJitter +
+ToGray + 29x29 GaussianBlur + RandomResizedCrop at full resolution,
+``utils/utils.py:46-91``), which sustains roughly 100-200 images/sec
+per CPU worker => ~1-2k samples/sec into the GPU; the GPU-side ~3
+ResNet-50 passes/step would allow more (~25ms compute/step) but stalls
+on input. 1200/s is the midpoint of that input-path estimate. The
+north-star target is 5x => vs_baseline 5.0.
 """
 
 from __future__ import annotations

@@ -226,8 +226,9 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
                     val_metric_value > best + 1e-4:
                 best = val_metric_value
                 bad_epochs = 0
-                save_checkpoint(logdir, state, cfg.to_dict(),
-                                name=f"checkpoint_best_{eval_metric}")
+                if cfg.save_checkpoints is None or cfg.save_checkpoints:
+                    save_checkpoint(logdir, state, cfg.to_dict(),
+                                    name=f"checkpoint_best_{eval_metric}")
             else:
                 bad_epochs += 1
                 if bad_epochs >= patience:

@@ -107,3 +107,13 @@ def test_cotrain():
     src_l, src_u = tiny_data()
     state = run_two_steps(algo, src_l, src_u)
     _check(state)
+
+
+def test_supervised_baseline():
+    cfg = tiny_cfg("config_dvm_STiL")
+    cfg.algorithm_name = "Supervised"
+    algo = get_algorithm("Supervised")(cfg, cfg.field_lengths)
+    src_l, src_u = tiny_data()
+    state = run_two_steps(algo, src_l, src_u)
+    assert int(state.step) == 2
+    assert np.isfinite(float(state.log_sums["loss"]))
