@@ -117,3 +117,19 @@ def test_supervised_baseline():
     state = run_two_steps(algo, src_l, src_u)
     assert int(state.step) == 2
     assert np.isfinite(float(state.log_sums["loss"]))
+
+
+def test_stil_saint_train_steps():
+    cfg = tiny_cfg("config_dvm_STiL_SAINT")
+    algo = get_algorithm("STiL_SAINT")(cfg, cfg.field_lengths)
+    src_l, src_u = tiny_data()
+    state = run_two_steps(algo, src_l, src_u)
+    _check(state)
+
+
+def test_cotrain_saint_train_steps():
+    cfg = tiny_cfg("config_dvm_CoTrain_SAINT")
+    algo = get_algorithm("CoTrain_Pseudo_SAINT")(cfg, cfg.field_lengths)
+    src_l, src_u = tiny_data()
+    state = run_two_steps(algo, src_l, src_u)
+    _check(state)
