@@ -82,6 +82,26 @@ class CyclingSampler:
             return next(self._it)
 
 
+class WeightedSampler:
+    """Class-weighted sampling with replacement — the reference's
+    ``WeightedRandomSampler`` path (``trainers/evaluate.py:108-112``:
+    per-sample weight = class weight of its label)."""
+
+    def __init__(self, labels: np.ndarray, class_weights, batch_size: int,
+                 seed: int = 0):
+        w = np.asarray([class_weights[int(l)] for l in labels],
+                       np.float64)
+        self.p = w / w.sum()
+        self.n = len(labels)
+        self.batch_size = batch_size
+        self.rng = np.random.RandomState(seed)
+
+    def next(self) -> tuple:
+        idx = self.rng.choice(self.n, size=self.batch_size,
+                              replace=True, p=self.p)
+        return idx.astype(np.int32), np.ones(self.batch_size, np.float32)
+
+
 class DeviceCache:
     """Split staged in HBM; index-gather happens inside jit."""
 

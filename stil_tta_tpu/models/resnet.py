@@ -164,6 +164,9 @@ class ResNet(nn.Module):
     first_conv: bool = True
     maxpool1: bool = True
     space_to_depth: bool = True  # MXU-efficient stem (exact math)
+    # rematerialise each residual block in the backward pass (trades
+    # recompute FLOPs for activation HBM traffic)
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -189,6 +192,8 @@ class ResNet(nn.Module):
         feats = [x0]
         x = x0
         in_planes = 64
+        block_cls = nn.remat(self.block, static_argnums=(2,)) \
+            if self.remat else self.block
         for stage, (planes, blocks) in enumerate(
                 zip((64, 128, 256, 512), self.layers)):
             stride = 1 if stage == 0 else 2
@@ -196,9 +201,9 @@ class ResNet(nn.Module):
                 s = stride if b == 0 else 1
                 needs_ds = b == 0 and (
                     s != 1 or in_planes != planes * self.block.expansion)
-                x = self.block(planes=planes, stride=s, downsample=needs_ds,
-                               dtype=self.dtype,
-                               name=f"layer{stage + 1}_{b}")(x, train=train)
+                x = block_cls(planes=planes, stride=s, downsample=needs_ds,
+                              dtype=self.dtype,
+                              name=f"layer{stage + 1}_{b}")(x, train)
             in_planes = planes * self.block.expansion
             feats.append(x)
 

@@ -167,8 +167,13 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
 
     u_sampler = EpochSampler(len(src_u), u_batch, shuffle=True,
                              drop_last=True, seed=int(cfg.seed or 0))
-    l_sampler = CyclingSampler(len(src_l), l_batch,
-                               seed=int(cfg.seed or 0) + 1)
+    if cfg.weighted_sampler and cfg.weights:
+        from stil_tta_tpu.data.loader import WeightedSampler
+        l_sampler = WeightedSampler(src_l.labels, cfg.weights, l_batch,
+                                    seed=int(cfg.seed or 0) + 1)
+    else:
+        l_sampler = CyclingSampler(len(src_l), l_batch,
+                                   seed=int(cfg.seed or 0) + 1)
 
     eval_metric = cfg.eval_metric or ("acc" if cfg.target == "dvm"
                                       else "auc")

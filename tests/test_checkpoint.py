@@ -82,3 +82,13 @@ def test_corrupt_tabular_zero_rate():
     rows = jnp.arange(20.0).reshape(4, 5)
     out = corrupt_tabular(rng, rows, rows, 0.0)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(rows))
+
+
+def test_weighted_sampler_prefers_heavy_class():
+    from stil_tta_tpu.data.loader import WeightedSampler
+    labels = np.array([0] * 50 + [1] * 50)
+    s = WeightedSampler(labels, {0: 1.0, 1: 9.0}, batch_size=200, seed=0)
+    idx, w = s.next()
+    frac1 = (labels[idx] == 1).mean()
+    assert 0.8 < frac1 < 0.98  # ~0.9 expected
+    assert w.sum() == 200
