@@ -94,7 +94,9 @@ def main():
     for i in range(n_steps):
         il, iu = idx_pair(i)
         state = train_step(state, cache_l, cache_u, il, iu, epoch)
-    jax.block_until_ready(state.params)
+    # host-side read dependent on the final step: airtight sync even if
+    # block_until_ready returns early on the tunnel (docs/DESIGN.md)
+    assert int(state.step) == n_steps + 3
     dt = time.perf_counter() - t0
 
     samples_per_sec = n_steps * batch_size / dt

@@ -10,13 +10,25 @@ import time
 
 
 def timeit(fn, *args, n=20):
+    """Host-synced timing: block_until_ready can return early on the
+    axon tunnel for independent dispatches, so we force a device->host
+    read of a scalar derived from the last result (docs/DESIGN.md)."""
     import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def probe(r):
+        leaves = [t.astype(jnp.float32).sum()
+                  for t in jax.tree_util.tree_leaves(r)
+                  if hasattr(t, "astype")]
+        return sum(leaves[:4]) if leaves else jnp.float32(0)
+
     r = fn(*args)
-    jax.block_until_ready(r)
+    float(probe(r))
     t0 = time.perf_counter()
     for _ in range(n):
         r = fn(*args)
-    jax.block_until_ready(r)
+    float(probe(r))
     return (time.perf_counter() - t0) / n
 
 
