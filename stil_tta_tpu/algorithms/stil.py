@@ -118,11 +118,13 @@ class STiLNet(nn.Module):
         out["mu_t"] = self.club_tabular(out["x_st"])
         return out
 
-    def teacher(self, image, tabular) -> Dict[str, jax.Array]:
+    def teacher(self, image, tabular,
+                missing_mask=None) -> Dict[str, jax.Array]:
         """EMA forward: backbone (EMA weights) + multimodal projector
         (student weights — the reference EMA copies only the backbone,
         ``STiLModel.py:88, 252-254``)."""
-        out = self.backbone(image, tabular, train=False)
+        out = self.backbone(image, tabular, train=False,
+                            missing_mask=missing_mask)
         feat_m_raw = jnp.concatenate(
             [out["x_si_enhance"], out["x_c"], out["x_st_enhance"]], axis=1)
         return {
@@ -289,6 +291,12 @@ class STiL:
                 bu["tabular"], cache_l["tabular"], cache_u["tabular"])
             images = jnp.concatenate([img_l, img_u], axis=0)
             tabs = jnp.concatenate([tab_l, tab_u], axis=0)
+            # missing-feature masks (attention masking in the tabular
+            # encoder; the reference's missing_tabular mode)
+            missing = None
+            if "missing" in bl and "missing" in bu:
+                missing = jnp.concatenate([bl["missing"], bu["missing"]],
+                                          axis=0)
 
             # ---- EMAN teacher update THEN teacher forward (:249-258)
             if use_ema:
@@ -302,12 +310,14 @@ class STiL:
                 t_stats["backbone"] = ema_bs
                 tout = net.apply({"params": t_params,
                                   "batch_stats": t_stats},
-                                 images, tabs, method=STiLNet.teacher)
+                                 images, tabs, missing,
+                                 method=STiLNet.teacher)
             else:
                 ema_p, ema_bs = state.ema_params, state.ema_batch_stats
                 tout = net.apply({"params": state.params,
                                   "batch_stats": state.batch_stats},
-                                 images, tabs, method=STiLNet.teacher)
+                                 images, tabs, missing,
+                                 method=STiLNet.teacher)
             tout = jax.lax.stop_gradient(tout)
             feat_m_le = tout["feat_m"][:b_l]
             feat_m_ue = tout["feat_m"][b_l:]
@@ -360,8 +370,8 @@ class STiL:
             def loss_fn(params):
                 outs, mut = net.apply(
                     {"params": params, "batch_stats": state.batch_stats},
-                    images, tabs, train=True, mutable=["batch_stats"],
-                    rngs={"dropout": k_drop})
+                    images, tabs, train=True, missing_mask=missing,
+                    mutable=["batch_stats"], rngs={"dropout": k_drop})
                 yh_m, yh_i, yh_t = outs["out_m"], outs["out_i"], outs["out_t"]
                 loss_ce = (cross_entropy(yh_m[:b_l], y_l)
                            + cross_entropy(yh_i[:b_l], y_l)

@@ -8,8 +8,6 @@ log-likelihood of q.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

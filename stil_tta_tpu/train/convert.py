@@ -20,7 +20,6 @@ from __future__ import annotations
 import re
 from typing import Dict, Tuple
 
-import jax
 import numpy as np
 
 

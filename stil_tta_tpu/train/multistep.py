@@ -10,7 +10,6 @@ back to single steps.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def make_scan_train_step(jitted_step, k: int):
