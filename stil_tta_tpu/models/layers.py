@@ -99,7 +99,7 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True,
-                 return_attn: bool = False):
+                 return_attn: bool = False, attn_probe=None):
         dim = x.shape[-1]
         head_dim = dim // self.num_heads
         scale = head_dim ** -0.5
@@ -109,8 +109,22 @@ class Attention(nn.Module):
         q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         rng = self.make_rng("dropout") if (
             self.attn_drop > 0.0 and not deterministic) else None
-        out, attn = scaled_attention(q, k, v, scale, mask, self.attn_drop,
-                                     deterministic, rng)
+        if attn_probe is None:
+            out, attn = scaled_attention(q, k, v, scale, mask,
+                                         self.attn_drop, deterministic,
+                                         rng)
+        else:
+            # zero probe added to the post-softmax map: grads w.r.t. the
+            # probe ARE the attention-map gradients (the reference's
+            # save_attn_gradients hook, ``Transformer.py:51-55``)
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                              preferred_element_type=jnp.float32) * scale
+            if mask is not None:
+                attn = attn + mask
+            attn = jax.nn.softmax(attn, axis=-1) + attn_probe
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32) \
+                .astype(v.dtype)
         out = _merge_heads(out)
         out = Dense(dim, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
@@ -166,7 +180,8 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, encoder_hidden_states=None, mask=None,
-                 deterministic: bool = True, return_attn: bool = False):
+                 deterministic: bool = True, return_attn: bool = False,
+                 attn_probe=None):
         def dp(t):
             if self.drop_path == 0.0 or deterministic:
                 return t
@@ -177,7 +192,7 @@ class Block(nn.Module):
         attn_out = Attention(self.num_heads, self.qkv_bias, self.attn_drop,
                              self.drop, dtype=self.dtype, name="attn")(
             h, mask=mask, deterministic=deterministic,
-            return_attn=return_attn)
+            return_attn=return_attn, attn_probe=attn_probe)
         attn_map = None
         if return_attn:
             attn_out, attn_map = attn_out

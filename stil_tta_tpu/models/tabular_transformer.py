@@ -119,17 +119,20 @@ class TabularTransformerEncoder(nn.Module):
     def __call__(self, x: jax.Array, missing_mask: Optional[jax.Array] = None,
                  mask_special: Optional[jax.Array] = None,
                  deterministic: bool = True,
-                 return_attn: bool = False) -> jax.Array:
+                 return_attn: bool = False,
+                 attn_probes=None) -> jax.Array:
         tokens = self.embed(x, mask_special=mask_special,
                             deterministic=deterministic)
         attn_mask = None
         if missing_mask is not None:
             attn_mask = build_attention_mask(missing_mask)
         attn_maps = []
-        for block in self.blocks:
+        for i, block in enumerate(self.blocks):
             tokens = block(tokens, mask=attn_mask,
                            deterministic=deterministic,
-                           return_attn=return_attn)
+                           return_attn=return_attn,
+                           attn_probe=None if attn_probes is None
+                           else attn_probes[i])
             if return_attn:
                 tokens, attn = tokens
                 attn_maps.append(attn)

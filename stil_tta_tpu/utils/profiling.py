@@ -63,3 +63,29 @@ def capture_attention(encoder, variables, x, missing_mask=None):
     Returns (tokens, [ (B, heads, N, N) per block ])."""
     return encoder.apply(variables, x, missing_mask=missing_mask,
                          return_attn=True)
+
+
+def attention_gradients(encoder, variables, x, scalar_fn,
+                        missing_mask=None):
+    """Gradients of a scalar w.r.t. each block's post-softmax attention
+    map (the reference's ``save_attn_gradients`` hook,
+    ``Transformer.py:51-55``), via a zero probe added to the maps.
+
+    ``scalar_fn(tokens) -> scalar`` (e.g. a class logit through a head).
+    Returns a list of (B, heads, N, N) gradient arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b = x.shape[0]
+    n = encoder.num_cat + encoder.num_con + 1
+    heads = 8  # TabularTransformerEncoder blocks (Transformer.py:220-223)
+    zeros = [jnp.zeros((b, heads, n, n), jnp.float32)
+             for _ in range(encoder.num_layers)]
+
+    def f(probes):
+        tokens = encoder.apply(variables, x, missing_mask=missing_mask,
+                               attn_probes=probes)
+        return scalar_fn(tokens)
+
+    return jax.grad(f)(zeros)

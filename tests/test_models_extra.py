@@ -94,3 +94,20 @@ def test_attention_capture():
     assert maps[0].shape == (2, 8, 4, 4)
     np.testing.assert_allclose(np.asarray(maps[0]).sum(-1), 1.0,
                                rtol=1e-5)
+
+
+def test_attention_gradients():
+    from stil_tta_tpu.models.tabular_transformer import \
+        TabularTransformerEncoder
+    from stil_tta_tpu.utils.profiling import attention_gradients
+    enc = TabularTransformerEncoder(cat_lengths=(5, 4), con_lengths=[1],
+                                    embedding_dim=32, num_layers=2,
+                                    dtype=jnp.float32)
+    x = jnp.zeros((2, 3))
+    v = enc.init(jax.random.key(0), x)
+    grads = attention_gradients(enc, v, x,
+                                lambda tokens: tokens[:, 0, :].sum())
+    assert len(grads) == 2
+    assert grads[0].shape == (2, 8, 4, 4)
+    # CLS-sum scalar must have nonzero sensitivity to the attention maps
+    assert float(np.abs(np.asarray(grads[0])).sum()) > 0
