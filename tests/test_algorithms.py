@@ -133,3 +133,19 @@ def test_cotrain_saint_train_steps():
     src_l, src_u = tiny_data()
     state = run_two_steps(algo, src_l, src_u)
     _check(state)
+
+
+def test_comatch_imaging():
+    cfg = tiny_cfg("config_dvm_CoMatch")
+    algo = get_algorithm("CoMatch")(cfg, cfg.field_lengths)
+    src_l, src_u = tiny_data()
+    state = run_two_steps(algo, src_l, src_u)
+    _check(state)
+
+
+def test_freematch_multimodal():
+    cfg = tiny_cfg("config_dvm_MultiFreeMatch")
+    algo = get_algorithm("FreeMatch")(cfg, cfg.field_lengths)
+    src_l, src_u = tiny_data()
+    state = run_two_steps(algo, src_l, src_u)
+    _check(state)
