@@ -210,3 +210,90 @@ def load_pretrained_encoders(variables, ckpt_path: str):
         stats["backbone"] = backbone_s
         out["batch_stats"] = stats
     return out
+
+
+def load_saint_state_dict(variables, state_dict):
+    """Map a somepago/saint-style torch ``state_dict`` onto our
+    :class:`SAINTEncoder` variables (the reference loads SAINT weights
+    from a separate .pth — ``STiLModel_SAINT_backbone.py:144-146``).
+
+    Consumed keys: ``embeds.weight``, ``pos_encodings.weight``, the
+    per-continuous ``simple_MLP.{i}.layers.{0,2}.{weight,bias}`` stacks,
+    and the RowColTransformer stack
+    ``transformer.layers.{d}.{j}`` where j in {0: col-attention,
+    1: col-FF, 2: row-attention, 3: row-FF}, each wrapped as
+    PreNorm(norm, Residual(fn)) => ``...norm.*`` + ``...fn.fn.*``
+    (Attention: to_qkv/to_out; FeedForward: net.0/net.3). All other SAINT
+    heads (mlp1/mlp2/mlpfory/pt_mlp*/mask embeds) are ignored, like the
+    reference's encoder-only use. Returns (variables, n_consumed).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    flat = _flatten(variables["params"])
+    used = [0]
+
+    def get(key):
+        used[0] += 1
+        return sd[key]
+
+    new = {}
+    for path, value in flat.items():
+        name = "/".join(path)
+        expect = np.asarray(value)
+        v = None
+        if path[-2:] == ("embeds", "embedding"):
+            v = get("embeds.weight")
+        elif path[-2:] == ("pos_encodings", "embedding"):
+            v = get("pos_encodings.weight")
+        elif path[-1].startswith("con_mlp_"):
+            ncon = expect.shape[0]
+            which = path[-1]
+            parts = []
+            for i in range(ncon):
+                if which == "con_mlp_w1":
+                    parts.append(get(f"simple_MLP.{i}.layers.0.weight").T)
+                elif which == "con_mlp_b1":
+                    parts.append(get(f"simple_MLP.{i}.layers.0.bias"))
+                elif which == "con_mlp_w2":
+                    parts.append(get(f"simple_MLP.{i}.layers.2.weight").T)
+                else:
+                    parts.append(get(f"simple_MLP.{i}.layers.2.bias"))
+            v = np.stack(parts)
+        else:
+            # l{d}_{kind}: norm_col/attn_col/ff_col/norm_ff_col + row
+            import re as _re
+            m = _re.match(r"l(\d+)_(.+)", path[-2] if len(path) >= 2
+                          else path[-1])
+            m0 = _re.match(r"l(\d+)_(.+)", path[0])
+            mm = m0 or m
+            if mm is None:
+                raise KeyError(f"unmapped SAINT leaf {name}")
+            d = int(mm.group(1))
+            kind = mm.group(2)
+            slot = {"norm_col": 0, "attn_col": 0, "ff_col": 1,
+                    "norm_ff_col": 1, "norm_row": 2, "attn_row": 2,
+                    "ff_row": 3, "norm_ff_row": 3}[kind]
+            base = f"transformer.layers.{d}.{slot}"
+            leaf = path[-1]
+            if kind.startswith("norm"):
+                tk = base + ".norm." + ("weight" if leaf == "scale"
+                                        else "bias")
+                v = get(tk)
+            elif kind.startswith("attn"):
+                sub = path[-2]  # to_qkv / to_out
+                tk = f"{base}.fn.fn.{sub}." + (
+                    "weight" if leaf == "kernel" else "bias")
+                v = get(tk)
+                if leaf == "kernel":
+                    v = v.T
+            else:  # ff: fc1 -> net.0, fc2 -> net.3
+                sub = {"fc1": "net.0", "fc2": "net.3"}[path[-2]]
+                tk = f"{base}.fn.fn.{sub}." + (
+                    "weight" if leaf == "kernel" else "bias")
+                v = get(tk)
+                if leaf == "kernel":
+                    v = v.T
+        if v.shape != expect.shape:
+            raise ValueError(f"SAINT shape mismatch at {name}: torch "
+                             f"{v.shape} vs flax {expect.shape}")
+        new[path] = v.astype(expect.dtype)
+    return {"params": _unflatten(new)}, used[0]

@@ -156,6 +156,22 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         state = _dc.replace(state, params=variables["params"],
                             batch_stats=variables.get("batch_stats",
                                                       state.batch_stats))
+    if cfg.checkpoint_SAINT:
+        # SAINT weights from a separate .pth
+        # (``STiLModel_SAINT_backbone.py:144-146``)
+        import dataclasses as _dc
+        from stil_tta_tpu.train.convert import (load_saint_state_dict,
+                                                load_torch_checkpoint)
+        sd = load_torch_checkpoint(str(cfg.checkpoint_SAINT))
+        backbone = dict(state.params["backbone"])
+        converted, n_used = load_saint_state_dict(
+            {"params": backbone["encoder_tabular"]}, sd)
+        backbone["encoder_tabular"] = converted["params"]
+        params = dict(state.params)
+        params["backbone"] = backbone
+        print(f"Loaded SAINT weights ({n_used} tensors) from "
+              f"{cfg.checkpoint_SAINT}")
+        state = _dc.replace(state, params=params)
 
     train_step = algo.make_train_step()
     eval_step = algo.make_eval_step()
