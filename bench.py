@@ -77,26 +77,34 @@ def main():
                             jnp.asarray(src_l.tabular[:2]))
     train_step = algo.make_train_step()
 
+    # production dispatch path: 8 fused steps per device call
+    # (steps_per_dispatch; amortises host/tunnel latency)
+    from stil_tta_tpu.train.multistep import make_scan_train_step
+    k = 8
+    scan_step = make_scan_train_step(train_step, k)
+
     rs = np.random.RandomState(0)
-    def idx_pair(i):
-        return (jnp.asarray(rs.randint(0, len(src_l), l_batch), jnp.int32),
-                jnp.asarray(rs.randint(0, len(src_u), u_batch), jnp.int32))
+    def idx_block():
+        return (jnp.asarray(rs.randint(0, len(src_l), (k, l_batch)),
+                            jnp.int32),
+                jnp.asarray(rs.randint(0, len(src_u), (k, u_batch)),
+                            jnp.int32))
 
     epoch = jnp.asarray(1, jnp.int32)
     # warmup / compile
-    for i in range(3):
-        il, iu = idx_pair(i)
-        state = train_step(state, cache_l, cache_u, il, iu, epoch)
-    jax.block_until_ready(state.params)
+    il, iu = idx_block()
+    state = scan_step(state, cache_l, cache_u, il, iu, epoch)
+    assert int(state.step) == k
 
-    n_steps = 20
+    n_calls = 4
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        il, iu = idx_pair(i)
-        state = train_step(state, cache_l, cache_u, il, iu, epoch)
+    for _ in range(n_calls):
+        il, iu = idx_block()
+        state = scan_step(state, cache_l, cache_u, il, iu, epoch)
     # host-side read dependent on the final step: airtight sync even if
     # block_until_ready returns early on the tunnel (docs/DESIGN.md)
-    assert int(state.step) == n_steps + 3
+    n_steps = n_calls * k
+    assert int(state.step) == n_steps + k
     dt = time.perf_counter() - t0
 
     samples_per_sec = n_steps * batch_size / dt
