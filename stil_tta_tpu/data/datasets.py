@@ -53,5 +53,16 @@ def apply_sweep_truncation(sources: Dict[str, ArraySource],
     """``sweep``/``unit_test`` truncation to <= 5000 samples
     (``ContrastiveImagingAndTabularDataset.py:104-111``)."""
     if cfg.sweep or cfg.unit_test:
-        return {k: v.truncate(5000) for k, v in sources.items()}
+        sources = {k: v.truncate(5000) for k, v in sources.items()}
+    if cfg.delete_segmentation:
+        # zero the first channel (cardiac segmentation plane,
+        # ``ContrastiveImagingAndTabularDataset.py:64-66``)
+        import dataclasses
+        import numpy as np
+        out = {}
+        for k, v in sources.items():
+            imgs = np.array(v.images)
+            imgs[..., 0] = 0
+            out[k] = dataclasses.replace(v, images=imgs)
+        sources = out
     return sources
