@@ -32,6 +32,20 @@ BN = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5,
              param_dtype=jnp.float32)
 
 
+def make_bn(impl: str, use_running_average: bool, dtype, name: str):
+    """BatchNorm factory: 'flax' (XLA reductions) or 'pallas'
+    (single-pass fused stat kernels, ops/batch_norm.py); 'auto' picks
+    pallas on TPU. Both share the same variable layout."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "flax"
+    if impl == "pallas":
+        from stil_tta_tpu.ops.batch_norm import TPUBatchNorm
+        return TPUBatchNorm(use_running_average=use_running_average,
+                            dtype=dtype, name=name)
+    return BN(use_running_average=use_running_average, dtype=dtype,
+              name=name)
+
+
 def torch_kaiming_conv_init(key, shape, dtype=jnp.float32):
     """kaiming_normal_(mode='fan_out', nonlinearity='relu') as in
     ``resnets.py:195-197``. Flax conv kernels are (kh, kw, cin, cout); torch
@@ -52,6 +66,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.bfloat16
+    bn_impl: str = "auto"
     expansion: int = 1
 
     @nn.compact
@@ -59,16 +74,16 @@ class BasicBlock(nn.Module):
         identity = x
         out = Conv(self.planes, (3, 3), strides=self.stride, padding=1,
                    dtype=self.dtype, name="conv1")(x)
-        out = BN(use_running_average=not train, dtype=self.dtype, name="bn1")(out)
+        out = make_bn(self.bn_impl, not train, self.dtype, "bn1")(out)
         out = nn.relu(out)
         out = Conv(self.planes, (3, 3), padding=1, dtype=self.dtype,
                    name="conv2")(out)
-        out = BN(use_running_average=not train, dtype=self.dtype, name="bn2")(out)
+        out = make_bn(self.bn_impl, not train, self.dtype, "bn2")(out)
         if self.downsample:
             identity = Conv(self.planes, (1, 1), strides=self.stride,
                             dtype=self.dtype, name="downsample_conv")(x)
-            identity = BN(use_running_average=not train, dtype=self.dtype,
-                          name="downsample_bn")(identity)
+            identity = make_bn(self.bn_impl, not train, self.dtype,
+                          "downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -81,6 +96,7 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     dtype: Any = jnp.bfloat16
+    bn_impl: str = "auto"
     expansion: int = 4
 
     @nn.compact
@@ -88,22 +104,22 @@ class Bottleneck(nn.Module):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
         out = Conv(width, (1, 1), dtype=self.dtype, name="conv1")(x)
-        out = BN(use_running_average=not train, dtype=self.dtype, name="bn1")(out)
+        out = make_bn(self.bn_impl, not train, self.dtype, "bn1")(out)
         out = nn.relu(out)
         out = Conv(width, (3, 3), strides=self.stride, padding=1,
                    feature_group_count=self.groups, dtype=self.dtype,
                    name="conv2")(out)
-        out = BN(use_running_average=not train, dtype=self.dtype, name="bn2")(out)
+        out = make_bn(self.bn_impl, not train, self.dtype, "bn2")(out)
         out = nn.relu(out)
         out = Conv(self.planes * self.expansion, (1, 1), dtype=self.dtype,
                    name="conv3")(out)
-        out = BN(use_running_average=not train, dtype=self.dtype, name="bn3")(out)
+        out = make_bn(self.bn_impl, not train, self.dtype, "bn3")(out)
         if self.downsample:
             identity = Conv(self.planes * self.expansion, (1, 1),
                             strides=self.stride, dtype=self.dtype,
                             name="downsample_conv")(x)
-            identity = BN(use_running_average=not train, dtype=self.dtype,
-                          name="downsample_bn")(identity)
+            identity = make_bn(self.bn_impl, not train, self.dtype,
+                          "downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -167,6 +183,7 @@ class ResNet(nn.Module):
     # rematerialise each residual block in the backward pass (trades
     # recompute FLOPs for activation HBM traffic)
     remat: bool = False
+    bn_impl: str = "auto"  # 'pallas' fused stats on TPU, 'flax' else
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -184,7 +201,7 @@ class ResNet(nn.Module):
         else:
             x = Conv(64, (3, 3), strides=1, padding=1, dtype=self.dtype,
                      name="conv1")(x)
-        x = BN(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
+        x = make_bn(self.bn_impl, not train, self.dtype, "bn1")(x)
         x0 = nn.relu(x)
         if self.maxpool1:
             x0 = nn.max_pool(x0, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -202,7 +219,7 @@ class ResNet(nn.Module):
                 needs_ds = b == 0 and (
                     s != 1 or in_planes != planes * self.block.expansion)
                 x = block_cls(planes=planes, stride=s, downsample=needs_ds,
-                              dtype=self.dtype,
+                              dtype=self.dtype, bn_impl=self.bn_impl,
                               name=f"layer{stage + 1}_{b}")(x, train)
             in_planes = planes * self.block.expansion
             feats.append(x)
