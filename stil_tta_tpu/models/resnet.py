@@ -34,10 +34,14 @@ BN = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5,
 
 def make_bn(impl: str, use_running_average: bool, dtype, name: str):
     """BatchNorm factory: 'flax' (XLA reductions) or 'pallas'
-    (single-pass fused stat kernels, ops/batch_norm.py); 'auto' picks
-    pallas on TPU. Both share the same variable layout."""
+    (single-pass stat kernels, ops/batch_norm.py). Measured on v5e the
+    flax path is faster (XLA fuses the stat reductions WITH the
+    normalise/grad elementwise work into single passes; splitting them
+    out costs extra activation reads — docs/BENCHMARKS.md), so 'auto'
+    resolves to 'flax'. The pallas implementation stays available and
+    tested for shapes where XLA's schedule regresses."""
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "flax"
+        impl = "flax"
     if impl == "pallas":
         from stil_tta_tpu.ops.batch_norm import TPUBatchNorm
         return TPUBatchNorm(use_running_average=use_running_average,
