@@ -48,8 +48,10 @@ from stil_tta_tpu.losses import (club_losses, clip_loss, cross_entropy,
 from stil_tta_tpu.losses.club import CLUBMean
 from stil_tta_tpu.models.backbones import DisCoBackbone
 from stil_tta_tpu.models.layers import SimCLRProjectionHead
-from stil_tta_tpu.ops.metrics import (AccuracyState, accuracy_init,
-                                      accuracy_update)
+from stil_tta_tpu.ops.metrics import (AccuracyState, AUROCState,
+                                      accuracy_init, accuracy_update,
+                                      auroc_compute, auroc_init,
+                                      auroc_update)
 from stil_tta_tpu.train.optim import build_optimizer
 
 
@@ -142,6 +144,8 @@ class STiLState(TrainState):
     da: Optional[DAState] = None
     acc_train: AccuracyState = None
     acc_train_u: AccuracyState = None
+    auc_train: AUROCState = None      # binary tasks only
+    auc_train_u: AUROCState = None
     log_sums: Dict[str, jax.Array] = None
     log_count: jax.Array = None
 
@@ -231,6 +235,8 @@ class STiL:
                 prototypes_count=jnp.zeros((c, 1), jnp.float32),
                 da=da,
                 acc_train=accuracy_init(), acc_train_u=accuracy_init(),
+                auc_train=auroc_init(2) if c == 2 else None,
+                auc_train_u=auroc_init(2) if c == 2 else None,
                 log_sums={k: jnp.zeros((), jnp.float32)
                           for k in LOG_KEYS},
                 log_count=jnp.zeros((), jnp.float32),
@@ -437,6 +443,10 @@ class STiL:
                 pm_l, pm_u = pm_l[:, 1], pm_u[:, 1]
             acc = accuracy_update(state.acc_train, pm_l, y_l)
             acc_u = accuracy_update(state.acc_train_u, pm_u, y_u)
+            auc = auroc_update(state.auc_train, pm_l, y_l) \
+                if binary else None
+            auc_u = auroc_update(state.auc_train_u, pm_u, y_u) \
+                if binary else None
 
             new_logs = {k: state.log_sums[k] + logs[k] for k in LOG_KEYS}
             return dataclasses.replace(
@@ -445,6 +455,7 @@ class STiL:
                 ema_batch_stats=ema_bs, rng=rng, step=state.step + 1,
                 prototypes_sum=proto_sum, prototypes_count=proto_cnt,
                 da=da, acc_train=acc, acc_train_u=acc_u,
+                auc_train=auc, auc_train_u=auc_u,
                 log_sums=new_logs, log_count=state.log_count + 1.0)
 
         return jax.jit(step, donate_argnums=(0,))
@@ -476,6 +487,10 @@ class STiL:
                                        / np.maximum(state.acc_train.total, 1))
         logs["eval.train_unlabelled.acc"] = float(
             state.acc_train_u.correct / np.maximum(state.acc_train_u.total, 1))
+        if state.auc_train is not None:
+            logs["eval.train.auc"] = float(auroc_compute(state.auc_train))
+            logs["eval.train_unlabelled.auc"] = float(
+                auroc_compute(state.auc_train_u))
         c = state.prototypes.shape[0]
         pdim = state.prototypes.shape[1]
         state = dataclasses.replace(
@@ -483,6 +498,10 @@ class STiL:
             prototypes_sum=jnp.zeros((c, pdim), jnp.float32),
             prototypes_count=jnp.zeros((c, 1), jnp.float32),
             acc_train=accuracy_init(), acc_train_u=accuracy_init(),
+            auc_train=auroc_init(2) if state.auc_train is not None
+            else None,
+            auc_train_u=auroc_init(2) if state.auc_train is not None
+            else None,
             log_sums={k: jnp.zeros((), jnp.float32) for k in LOG_KEYS},
             log_count=jnp.zeros((), jnp.float32))
         return state, logs

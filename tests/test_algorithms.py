@@ -149,3 +149,22 @@ def test_freematch_multimodal():
     src_l, src_u = tiny_data()
     state = run_two_steps(algo, src_l, src_u)
     _check(state)
+
+
+def test_stil_binary_tracks_train_auc():
+    cfg = tiny_cfg("config_cardiac_STiL", target="CAD")
+    cfg.num_classes = 2
+    algo = get_algorithm("STiL")(cfg, cfg.field_lengths)
+    import stil_tta_tpu.data.source as src_mod
+    src_l = src_mod.synthetic_source(16, num_classes=2,
+                                     field_lengths=cfg.field_lengths,
+                                     image_size=40, seed=0)
+    src_u = src_mod.synthetic_source(24, num_classes=2,
+                                     field_lengths=cfg.field_lengths,
+                                     image_size=40, labelled_frac=0,
+                                     seed=1)
+    state = run_two_steps(algo, src_l, src_u)
+    assert state.auc_train is not None
+    assert float(state.auc_train.pos.sum() + state.auc_train.neg.sum()) \
+        == 4.0  # 2 steps x 2 labeled samples
+    state, logs = None, None
