@@ -53,19 +53,50 @@ def main(argv=None):
 
     np.random.seed(int(cfg.seed or 0))
 
-    run_name = f"{cfg.algorithm_name}_{cfg.dataset_name}_{cfg.seed}"
-    logdir = cfg.logdir or str(Path("runs") / run_name)
-    cfg.logdir = logdir
+    # multi-seed sweep: the reference configs carry a `seeds` list
+    # (``config_dvm_STiL.yaml:11-16``; the paper reports means over
+    # seeds). With run_all_seeds=True each seed gets its own logdir and
+    # a summary CSV aggregates mean/std.
+    seeds = [int(cfg.seed or 0)]
+    if cfg.run_all_seeds and cfg.seeds:
+        seeds = [int(s) for s in cfg.seeds]
 
-    if cfg.test:
-        from stil_tta_tpu.train.test import test
-        results = test(cfg)
-    elif cfg.evaluate:
-        from stil_tta_tpu.train.evaluate import evaluate
-        results = evaluate(cfg)
-    else:
-        raise SystemExit("Set evaluate=True or test=True")
-    print(results)
+    all_results = []
+    base_logdir = cfg.logdir
+    for seed in seeds:
+        run_cfg = cfg.copy()
+        run_cfg.seed = seed
+        run_name = f"{cfg.algorithm_name}_{cfg.dataset_name}_{seed}"
+        run_cfg.logdir = (f"{base_logdir}_{seed}" if base_logdir
+                          and len(seeds) > 1
+                          else base_logdir
+                          or str(Path("runs") / run_name))
+        if run_cfg.test:
+            from stil_tta_tpu.train.test import test
+            results = test(run_cfg)
+        elif run_cfg.evaluate:
+            from stil_tta_tpu.train.evaluate import evaluate
+            results = evaluate(run_cfg)
+        else:
+            raise SystemExit("Set evaluate=True or test=True")
+        print({"seed": seed, **results})
+        all_results.append(results)
+
+    if len(all_results) > 1:
+        import csv
+        keys = sorted({k for r in all_results for k in r
+                       if isinstance(r.get(k), (int, float))})
+        summary = Path(base_logdir or "runs") \
+            .with_name((Path(base_logdir or "runs").name)
+                       + "_seed_summary.csv")
+        with open(summary, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["metric", "mean", "std"] +
+                       [f"seed_{s}" for s in seeds])
+            for k in keys:
+                vals = [float(r[k]) for r in all_results if k in r]
+                w.writerow([k, np.mean(vals), np.std(vals)] + vals)
+        print(f"seed summary -> {summary}")
     return 0
 
 
