@@ -523,8 +523,16 @@ class STiL:
                              imgs, batch["tabular"], train=False,
                              missing_mask=batch.get("missing"))
             # val losses (``STiLModel.py:434-455``)
-            loss_itc, _, _ = clip_loss(outs["feat_i"], outs["feat_t"],
-                                       temp, lam0)
+            loss_itc, itc_logits, itc_labels = clip_loss(
+                outs["feat_i"], outs["feat_t"], temp, lam0)
+            # embedding retrieval accuracy (``STiLModel.py:551-555``:
+            # multimodal.val.top1/top5 on the ITC similarity matrix)
+            ranks = jnp.argsort(-itc_logits, axis=1)
+            top1 = jnp.mean((ranks[:, 0] == itc_labels)
+                            .astype(jnp.float32))
+            top5 = jnp.mean(jnp.any(
+                ranks[:, :5] == itc_labels[:, None], axis=1)
+                .astype(jnp.float32))
             loss_ce = cross_entropy(outs["out_m"], batch["labels"])
             club_i, club_i_est = club_losses(outs["mu_i"], outs["x_ai"])
             club_t, club_t_est = club_losses(outs["mu_t"], outs["x_at"])
@@ -537,7 +545,8 @@ class STiL:
                            "CLUBloss_imaging": club_i,
                            "CLUBloss_imaging_est": club_i_est,
                            "CLUBloss_tabular": club_t,
-                           "CLUBloss_tabular_est": club_t_est},
+                           "CLUBloss_tabular_est": club_t_est,
+                           "top1": top1, "top5": top5},
             }
 
         return jax.jit(step)
