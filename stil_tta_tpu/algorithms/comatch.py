@@ -103,9 +103,13 @@ class CoMatch(MatchBase):
                 self.weak_strong_views(ku, bu["images"], bu["tabular"],
                                        cache_u["tabular"], two_strong=True)
 
-            # momentum encoder update + teacher fwd on (x, u_w, u_s1)
+            # momentum encoder update + teacher fwd on (x, u_w, u_s1).
+            # NOTE: CoMatch's reference lerps *parameters only*
+            # (``comatch_model.py:111-115``); the momentum encoder's BN
+            # running stats stay at their init copy (eman=False), unlike
+            # SimMatch/FreeMatch's state-dict lerp.
             ema_p, ema_bs = ema_update(state.ema_params, state.params,
-                                       momentum, True,
+                                       momentum, False,
                                        state.ema_batch_stats,
                                        state.batch_stats)
             state_t = dataclasses.replace(state, ema_params=ema_p,
