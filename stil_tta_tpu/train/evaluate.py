@@ -173,13 +173,15 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
               f"{cfg.checkpoint_SAINT}")
         state = _dc.replace(state, params=params)
 
-    train_step = algo.make_train_step()
-    eval_step = algo.make_eval_step()
+    from stil_tta_tpu.utils.jax_setup import lazy_tuned
+    train_step = lazy_tuned(algo.make_train_step())
+    eval_step = lazy_tuned(algo.make_eval_step())
     spd = int(cfg.steps_per_dispatch or 1)
     scan_step = None
     if spd > 1:
         from stil_tta_tpu.train.multistep import make_scan_train_step
-        scan_step = make_scan_train_step(train_step, spd)
+        scan_step = lazy_tuned(make_scan_train_step(
+            algo.make_train_step(), spd))
 
     u_sampler = EpochSampler(len(src_u), u_batch, shuffle=True,
                              drop_last=True, seed=int(cfg.seed or 0))

@@ -1,4 +1,5 @@
-"""Process-level JAX runtime setup: persistent compilation cache.
+"""Process-level JAX runtime setup: persistent compilation cache and
+tuned TPU compiler options.
 
 The first compile of the fused train step is expensive (remote-compile
 over the axon tunnel); the persistent cache makes subsequent runs start
@@ -8,6 +9,16 @@ in seconds. Call ``setup()`` before the first jitted computation.
 from __future__ import annotations
 
 import os
+
+# Winner of the v5e compiler-flag sweep (tools/bench_xla_flags.py,
+# docs/BENCHMARKS.md): +5.3% train-step throughput at the reference DVM
+# shape. The two flags only help *together* (each is neutral alone —
+# the experimental fusion cost model makes profitable the extra fusions
+# that input_conv_multi_users admits into conv producers).
+TUNED_TPU_COMPILER_OPTIONS = {
+    "xla_tpu_enable_experimental_fusion_cost_model": "true",
+    "xla_tpu_input_conv_multi_users": "true",
+}
 
 
 def setup(cache_dir: str | None = None) -> None:
@@ -21,3 +32,62 @@ def setup(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # cache is an optimisation only
+
+
+def is_tpu_backend() -> bool:
+    import jax
+    try:
+        dev = jax.devices()[0]
+        return "tpu" in (dev.platform + " " + dev.device_kind).lower()
+    except Exception:
+        return False
+
+
+def tuned_compile(jit_fn, *example_args, options=None):
+    """AOT-compile a jitted function with the tuned TPU compiler options
+    (falling back to ``jit_fn`` unchanged off-TPU or if the runtime
+    rejects the options). The returned executable is shape-specialised
+    to ``example_args`` — exactly right for the static-shape train/eval
+    steps. Opt out with ``STIL_DISABLE_TUNED_XLA=1``.
+
+    Delivery note: these are *server-side* (libtpu) flags. The axon
+    client's XLA_FLAGS parser rejects them; PJRT per-compile options are
+    forwarded to remote_compile and validated there.
+    """
+    if os.environ.get("STIL_DISABLE_TUNED_XLA"):
+        return jit_fn
+    if not is_tpu_backend():
+        return jit_fn
+    opts = dict(TUNED_TPU_COMPILER_OPTIONS if options is None else options)
+    env = os.environ.get("STIL_TPU_COMPILER_OPTIONS")
+    if env:  # explicit override (tools/bench_xla_flags.py)
+        import json
+        opts = json.loads(env)
+    if not opts:
+        return jit_fn
+    try:
+        return jit_fn.lower(*example_args).compile(compiler_options=opts)
+    except Exception:
+        return jit_fn
+
+
+def lazy_tuned(jit_fn):
+    """Defer ``tuned_compile`` until the first call supplies example
+    arguments (the hot-path steps in the training driver). AOT
+    executables are shape-specialised, so compilations are keyed on the
+    argument shapes/dtypes (e.g. val vs test caches differ in length)."""
+    import jax
+
+    cache = {}
+
+    def call(*args):
+        key = tuple(
+            (getattr(leaf, "shape", ()), str(getattr(leaf, "dtype", "")))
+            for leaf in jax.tree_util.tree_leaves(args))
+        fn = cache.get(key)
+        if fn is None:
+            fn = tuned_compile(jit_fn, *args)
+            cache[key] = fn
+        return fn(*args)
+
+    return call
