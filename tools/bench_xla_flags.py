@@ -46,6 +46,18 @@ SWEEP = [
     ("fcm_join_mxu",
      {"xla_tpu_enable_experimental_fusion_cost_model": "true",
       "xla_tpu_join_mxu_result_add": "true"}),
+    ("win_downcast",
+     {"xla_tpu_enable_experimental_fusion_cost_model": "true",
+      "xla_tpu_input_conv_multi_users": "true",
+      "xla_tpu_allow_conv_input_fusion_with_downcast_convert": "true"}),
+    ("win_x8prod",
+     {"xla_tpu_enable_experimental_fusion_cost_model": "true",
+      "xla_tpu_input_conv_multi_users": "true",
+      "xla_tpu_fuse_non_trivial_x8_producers_into_conv_like": "true"}),
+    ("win_dotdot",
+     {"xla_tpu_enable_experimental_fusion_cost_model": "true",
+      "xla_tpu_input_conv_multi_users": "true",
+      "xla_tpu_dot_dot_fusion": "true"}),
 ]
 
 
