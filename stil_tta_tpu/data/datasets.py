@@ -48,6 +48,55 @@ def load_sources(cfg) -> Dict[str, ArraySource]:
     return out
 
 
+def attach_missing_masks(sources: Dict[str, ArraySource],
+                         cfg) -> Dict[str, ArraySource]:
+    """Populate ``source.missing`` for the ``missing_tabular`` mode
+    (``config_dvm_STiL.yaml:43-46`` keys; masks consumed as attention
+    masking in the tabular encoder — ``Transformer.py:264-274``).
+
+    Per split, a pre-generated ``missing_mask.npy`` (the
+    ``create_missing_mask.ipynb`` artifact, via
+    ``stil_tta_tpu.dataprep.missing_mask``) is loaded from the split
+    directory when present; otherwise a mask is generated on the fly
+    from ``missing_strategy`` / ``missing_rate``. ``feature`` (and the
+    notebook's importance-ranked ``MI``/``LI``, which need an external
+    importance file) drop the same columns across splits; ``random``
+    is i.i.d. per split.
+    """
+    if not cfg.missing_tabular:
+        return sources
+    import dataclasses
+
+    import numpy as np
+
+    from stil_tta_tpu.dataprep.missing_mask import (
+        feature_missing_mask, random_missing_mask)
+
+    rate = float(cfg.missing_rate or 0.0)
+    strategy = str(cfg.missing_strategy or "random")
+    base = Path(cfg.data_base or ".")
+    out = {}
+    for i, (split, src) in enumerate(sources.items()):
+        if src.missing is not None:
+            out[split] = src
+            continue
+        mask = None
+        key = cfg.get(f"data_{split}")
+        split_dir = Path(key) if key else (base / split)
+        mask_file = split_dir / "missing_mask.npy"
+        if mask_file.exists():
+            mask = np.load(mask_file)
+        elif strategy in ("feature", "MI", "LI"):
+            # same columns across splits (fixed seed)
+            mask = feature_missing_mask(len(src), src.tabular.shape[1],
+                                        rate, seed=0)
+        else:
+            mask = random_missing_mask(len(src), src.tabular.shape[1],
+                                       rate, seed=1000 + i)
+        out[split] = dataclasses.replace(src, missing=mask.astype(bool))
+    return out
+
+
 def apply_sweep_truncation(sources: Dict[str, ArraySource],
                            cfg) -> Dict[str, ArraySource]:
     """``sweep``/``unit_test`` truncation to <= 5000 samples

@@ -27,7 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from stil_tta_tpu.algorithms.registry import get_algorithm
-from stil_tta_tpu.data.datasets import apply_sweep_truncation, load_sources
+from stil_tta_tpu.data.datasets import (apply_sweep_truncation,
+                                         attach_missing_masks,
+                                         load_sources)
 from stil_tta_tpu.data.loader import (CyclingSampler, DeviceCache,
                                       EpochSampler)
 from stil_tta_tpu.train import optim
@@ -111,7 +113,8 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
     logdir.mkdir(parents=True, exist_ok=True)
     logger = MetricLogger(logdir, echo=bool(cfg.enable_progress_bar))
 
-    sources = apply_sweep_truncation(load_sources(cfg), cfg)
+    sources = attach_missing_masks(
+        apply_sweep_truncation(load_sources(cfg), cfg), cfg)
     src_l, src_u = sources["train_labelled"], sources["train_unlabelled"]
     field_lengths = src_l.field_lengths
     num_classes = int(cfg.num_classes or src_l.num_classes)

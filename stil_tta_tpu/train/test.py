@@ -23,7 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from stil_tta_tpu.algorithms.registry import get_algorithm
-from stil_tta_tpu.data.datasets import apply_sweep_truncation, load_sources
+from stil_tta_tpu.data.datasets import (apply_sweep_truncation,
+                                         attach_missing_masks,
+                                         load_sources)
 from stil_tta_tpu.data.loader import DeviceCache
 from stil_tta_tpu.train.checkpoint import restore_checkpoint
 from stil_tta_tpu.train.evaluate import run_validation
@@ -35,7 +37,8 @@ def test(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
     logdir.mkdir(parents=True, exist_ok=True)
     logger = MetricLogger(logdir, echo=bool(cfg.enable_progress_bar))
 
-    sources = apply_sweep_truncation(load_sources(cfg), cfg)
+    sources = attach_missing_masks(
+        apply_sweep_truncation(load_sources(cfg), cfg), cfg)
     src = sources["test"]
     num_classes = int(cfg.num_classes or src.num_classes)
     cfg.num_classes = num_classes
