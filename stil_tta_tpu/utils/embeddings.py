@@ -29,7 +29,7 @@ def cosine_similarity_matrix(embeddings: jax.Array,
     (``torch.threshold`` semantics as used at ``utils.py:361-362``).
     """
     z = _l2norm(jnp.asarray(embeddings, jnp.float32))
-    sim = z @ z.T
+    sim = jnp.matmul(z, z.T, precision=jax.lax.Precision.HIGHEST)
     if threshold is not None:
         sim = jnp.where(sim > threshold, sim, 0.0)
     return sim
@@ -56,6 +56,8 @@ def calc_logits_labels(out0: jax.Array, out1: jax.Array,
     matching diagonal labels (``utils.py:366-373``)."""
     z0 = _l2norm(jnp.asarray(out0, jnp.float32), axis=1)
     z1 = _l2norm(jnp.asarray(out1, jnp.float32), axis=1)
-    logits = (z0 @ z1.T) / temperature
+    logits = jnp.matmul(z0, z1.T,
+                        precision=jax.lax.Precision.HIGHEST) \
+        / temperature
     labels = jnp.arange(z0.shape[0], dtype=jnp.int32)
     return logits, labels
