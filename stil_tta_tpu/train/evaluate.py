@@ -33,7 +33,9 @@ from stil_tta_tpu.data.datasets import (apply_sweep_truncation,
 from stil_tta_tpu.data.loader import (CyclingSampler, DeviceCache,
                                       EpochSampler)
 from stil_tta_tpu.train import optim
-from stil_tta_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from stil_tta_tpu.train.checkpoint import (restore_checkpoint,
+                                           save_checkpoint,
+                                           wait_for_checkpoints)
 from stil_tta_tpu.utils.logging import MetricLogger
 
 
@@ -254,7 +256,8 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
                 bad_epochs = 0
                 if cfg.save_checkpoints is None or cfg.save_checkpoints:
                     save_checkpoint(logdir, state, cfg.to_dict(),
-                                    name=f"checkpoint_best_{eval_metric}")
+                                    name=f"checkpoint_best_{eval_metric}",
+                                    block=not cfg.async_checkpoints)
             else:
                 bad_epochs += 1
                 if bad_epochs >= patience:
@@ -265,8 +268,10 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
             # crash-recovery snapshot (resume with
             # resume_training=True checkpoint=<logdir>/checkpoint_last)
             save_checkpoint(logdir, state, cfg.to_dict(),
-                            name="checkpoint_last")
+                            name="checkpoint_last",
+                            block=not cfg.async_checkpoints)
 
+    wait_for_checkpoints()  # flush async saves before reading back
     logger.log({f"best.val.{eval_metric}": best}, step=max_epochs)
     logger.dump_csv("eval_results.csv")
 

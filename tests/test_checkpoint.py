@@ -92,3 +92,29 @@ def test_weighted_sampler_prefers_heavy_class():
     frac1 = (labels[idx] == 1).mean()
     assert 0.8 < frac1 < 0.98  # ~0.9 expected
     assert w.sum() == 200
+
+
+def test_async_save_roundtrip(tmp_path):
+    """block=False saves commit after wait_for_checkpoints and restore
+    identically to sync saves."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stil_tta_tpu.train.checkpoint import (restore_checkpoint,
+                                               save_checkpoint,
+                                               wait_for_checkpoints)
+
+    state = {"w": jnp.arange(6.0).reshape(2, 3), "step": jnp.asarray(7)}
+    save_checkpoint(tmp_path, state, {"k": 1}, name="async_ck",
+                    block=False)
+    # overwrite in flight: a second async save must serialize cleanly
+    state2 = {"w": state["w"] * 2, "step": jnp.asarray(8)}
+    save_checkpoint(tmp_path, state2, {"k": 2}, name="async_ck",
+                    block=False)
+    wait_for_checkpoints()
+    target = {"w": jnp.zeros((2, 3)), "step": jnp.asarray(0)}
+    out = restore_checkpoint(tmp_path, target, name="async_ck")
+    np.testing.assert_allclose(np.asarray(out["w"]),
+                               np.arange(6.0).reshape(2, 3) * 2)
+    assert int(out["step"]) == 8
