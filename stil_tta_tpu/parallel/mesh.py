@@ -35,6 +35,38 @@ def create_mesh(n_devices: Optional[int] = None,
     return Mesh(dev_array, axis_names)
 
 
+def create_hybrid_mesh(ici_size: int, dcn_size: int,
+                       axis_names: Sequence[str] = ("dcn", "data")
+                       ) -> Mesh:
+    """Multi-slice mesh: outer axis across slices (DCN), inner axis
+    within a slice (ICI). For the pure-DP workload here the batch is
+    sharded over BOTH axes (``hierarchical_batch_sharding``) and XLA
+    emits the hierarchical gradient reduction — reduce-scatter/all-reduce
+    on ICI within each slice, then the (much smaller) cross-slice
+    all-reduce over DCN. This is the standard multi-slice data-parallel
+    recipe; no algorithm code changes (GSPMD inserts everything).
+
+    Uses ``mesh_utils.create_hybrid_device_mesh`` on real multi-slice
+    TPU topologies (it orders devices so the inner axis stays on ICI);
+    falls back to a plain reshape on hosts without slice metadata
+    (virtual CPU meshes in tests).
+    """
+    devices = jax.devices()
+    try:
+        from jax.experimental import mesh_utils
+        dev = mesh_utils.create_hybrid_device_mesh(
+            (1, ici_size), (dcn_size, 1), devices=devices)
+    except Exception:
+        dev = np.asarray(devices[:ici_size * dcn_size]).reshape(
+            dcn_size, ici_size)
+    return Mesh(dev, axis_names)
+
+
+def hierarchical_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch sharded over every mesh axis (multi-slice DP)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 

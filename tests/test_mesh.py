@@ -58,3 +58,44 @@ def test_sharded_step_matches_unsharded():
         np.testing.assert_allclose(float(single.log_sums[k]),
                                    float(sharded.log_sums[k]),
                                    rtol=2e-2, atol=2e-3)
+
+
+def test_multislice_hybrid_mesh_matches_unsharded():
+    """Multi-slice DP: batch sharded over BOTH mesh axes (DCN outer,
+    ICI inner) — same numbers as a single device."""
+    from stil_tta_tpu.parallel.mesh import (create_hybrid_mesh,
+                                            hierarchical_batch_sharding)
+
+    assert len(jax.devices()) >= 8
+    cfg = tiny_cfg("config_dvm_STiL")
+    algo = get_algorithm("STiL")(cfg, cfg.field_lengths)
+    src_l, src_u = tiny_data(n_l=16, n_u=32)
+
+    def run(hybrid: bool):
+        cache_l = DeviceCache(src_l).as_dict()
+        cache_u = DeviceCache(src_u).as_dict()
+        state = algo.init_state(jax.random.key(0),
+                                jnp.zeros((2, IMG, IMG, 3), jnp.float32),
+                                jnp.asarray(src_l.tabular[:2]))
+        idx_l = jnp.arange(8, dtype=jnp.int32)
+        idx_u = jnp.arange(16, dtype=jnp.int32)
+        if hybrid:
+            mesh = create_hybrid_mesh(ici_size=4, dcn_size=2)
+            assert mesh.devices.shape == (2, 4)
+            bsh = hierarchical_batch_sharding(mesh)
+            cache_l = replicate(mesh, cache_l)
+            cache_u = replicate(mesh, cache_u)
+            state = replicate(mesh, state)
+            idx_l = jax.device_put(idx_l, bsh)
+            idx_u = jax.device_put(idx_u, bsh)
+        step = algo.make_train_step()
+        return step(state, cache_l, cache_u, idx_l, idx_u,
+                    jnp.asarray(1, jnp.int32))
+
+    single = run(False)
+    hybrid = run(True)
+    assert _max_abs_diff(single.params, hybrid.params) < 5e-3
+    for k in single.log_sums:
+        np.testing.assert_allclose(float(single.log_sums[k]),
+                                   float(hybrid.log_sums[k]),
+                                   rtol=2e-2, atol=2e-3)
