@@ -77,10 +77,12 @@ def main():
                             jnp.asarray(src_l.tabular[:2]))
     train_step = algo.make_train_step()
 
-    # production dispatch path: 8 fused steps per device call
-    # (steps_per_dispatch; amortises host/tunnel latency)
+    # production dispatch path: 16 fused steps per device call
+    # (steps_per_dispatch default; amortises host/tunnel latency —
+    # k=8: 5138/s, k=16: 5185/s, k=32: 5212/s but long real-epoch tails)
     from stil_tta_tpu.train.multistep import make_scan_train_step
-    k = 8
+    import os
+    k = int(os.environ.get("STIL_BENCH_K", "16"))
     scan_step = make_scan_train_step(train_step, k)
 
     rs = np.random.RandomState(0)
