@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from stil_tta_tpu.algorithms.base import ema_update
 from stil_tta_tpu.algorithms.match_common import MatchBase, MatchState
-from stil_tta_tpu.data.loader import gather_batch
+from stil_tta_tpu.data.loader import gather_batch, marginal_table
 from stil_tta_tpu.losses import cross_entropy, soft_cross_entropy
 
 DA_WINDOW = 128  # comatch_model.py:281 (`len(self.hist_prob) > 128`)
@@ -98,10 +98,10 @@ class CoMatch(MatchBase):
 
             img_x, tab_x = self.labeled_views(kl, bl["images"],
                                               bl["tabular"],
-                                              cache_l["tabular"])
+                                              marginal_table(cache_l))
             (img_w, tab_w), (img_s0, tab_s0), (img_s1, tab_s1) = \
                 self.weak_strong_views(ku, bu["images"], bu["tabular"],
-                                       cache_u["tabular"], two_strong=True)
+                                       marginal_table(cache_u), two_strong=True)
 
             # momentum encoder update + teacher fwd on (x, u_w, u_s1).
             # NOTE: CoMatch's reference lerps *parameters only*

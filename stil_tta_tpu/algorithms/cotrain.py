@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from stil_tta_tpu.algorithms.base import ema_update
 from stil_tta_tpu.algorithms.match_common import MatchState
 from stil_tta_tpu.algorithms.mmatch import MMatch
-from stil_tta_tpu.data.loader import gather_batch
+from stil_tta_tpu.data.loader import gather_batch, marginal_table
 from stil_tta_tpu.losses import cross_entropy, soft_cross_entropy
 
 
@@ -54,10 +54,10 @@ class CoTrain(MMatch):
 
             img_l, tab_l = self.contrastive_views(kl, bl["images"],
                                                   bl["tabular"],
-                                                  cache_l["tabular"])
+                                                  marginal_table(cache_l))
             img_u, tab_u = self.contrastive_views(ku, bu["images"],
                                                   bu["tabular"],
-                                                  cache_u["tabular"])
+                                                  marginal_table(cache_u))
             images = jnp.concatenate([img_l, img_u])
             tabs = jnp.concatenate([tab_l, tab_u])
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from stil_tta_tpu.algorithms.base import ema_update
 from stil_tta_tpu.algorithms.match_common import MatchBase, MatchState
-from stil_tta_tpu.data.loader import gather_batch
+from stil_tta_tpu.data.loader import gather_batch, marginal_table
 from stil_tta_tpu.losses import cross_entropy, entropy_loss, \
     soft_cross_entropy
 
@@ -57,9 +57,9 @@ class FreeMatch(MatchBase):
 
             img_x, tab_x = self.labeled_views(kl, bl["images"],
                                               bl["tabular"],
-                                              cache_l["tabular"])
+                                              marginal_table(cache_l))
             (img_w, tab_w), (img_s, tab_s), _ = self.weak_strong_views(
-                ku, bu["images"], bu["tabular"], cache_u["tabular"])
+                ku, bu["images"], bu["tabular"], marginal_table(cache_u))
 
             ema_p, ema_bs = ema_update(state.ema_params, state.params,
                                        momentum, True,

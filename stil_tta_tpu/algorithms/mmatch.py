@@ -22,7 +22,7 @@ from stil_tta_tpu.algorithms.base import distribution_alignment
 from stil_tta_tpu.algorithms.match_common import MatchBase, MatchState
 from stil_tta_tpu.data.augment import contrastive_pipeline
 from stil_tta_tpu.data.corrupt import corrupt_tabular
-from stil_tta_tpu.data.loader import gather_batch
+from stil_tta_tpu.data.loader import gather_batch, marginal_table
 from stil_tta_tpu.losses import cross_entropy, soft_cross_entropy
 from stil_tta_tpu.models.backbones import SemiMultimodalBackbone
 
@@ -142,10 +142,10 @@ class MMatch(MatchBase):
 
             img_l, tab_l = self.contrastive_views(kl, bl["images"],
                                                   bl["tabular"],
-                                                  cache_l["tabular"])
+                                                  marginal_table(cache_l))
             img_u, tab_u = self.contrastive_views(ku, bu["images"],
                                                   bu["tabular"],
-                                                  cache_u["tabular"])
+                                                  marginal_table(cache_u))
             images = jnp.concatenate([img_l, img_u])
             tabs = jnp.concatenate([tab_l, tab_u])
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from stil_tta_tpu.algorithms.base import distribution_alignment, ema_update
 from stil_tta_tpu.algorithms.match_common import MatchBase, MatchState
-from stil_tta_tpu.data.loader import gather_batch
+from stil_tta_tpu.data.loader import gather_batch, marginal_table
 from stil_tta_tpu.losses import cross_entropy, soft_cross_entropy
 
 
@@ -63,9 +63,9 @@ class SimMatch(MatchBase):
 
             img_x, tab_x = self.labeled_views(kl, bl["images"],
                                               bl["tabular"],
-                                              cache_l["tabular"])
+                                              marginal_table(cache_l))
             (img_w, tab_w), (img_s, tab_s), _ = self.weak_strong_views(
-                ku, bu["images"], bu["tabular"], cache_u["tabular"])
+                ku, bu["images"], bu["tabular"], marginal_table(cache_u))
 
             # EMAN update then teacher forward on (x, u_w)
             # (``simmatch_model.py:246-264``; the reference's update is

@@ -42,7 +42,7 @@ from stil_tta_tpu.algorithms.base import (DAState, TrainState,
 from stil_tta_tpu.data.augment import (AugmentPipeline, contrastive_pipeline,
                                        default_pipeline)
 from stil_tta_tpu.data.corrupt import corrupt_tabular
-from stil_tta_tpu.data.loader import gather_batch
+from stil_tta_tpu.data.loader import gather_batch, marginal_table
 from stil_tta_tpu.losses import (club_losses, clip_loss, cross_entropy,
                                  prototype_loss, soft_cross_entropy)
 from stil_tta_tpu.losses.club import CLUBMean
@@ -294,7 +294,7 @@ class STiL:
 
             img_l, tab_l, img_u, tab_u = self._views(
                 k_views, bl["images"], bl["tabular"], bu["images"],
-                bu["tabular"], cache_l["tabular"], cache_u["tabular"])
+                bu["tabular"], marginal_table(cache_l), marginal_table(cache_u))
             images = jnp.concatenate([img_l, img_u], axis=0)
             tabs = jnp.concatenate([tab_l, tab_u], axis=0)
             # missing-feature masks (attention masking in the tabular

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from stil_tta_tpu.algorithms.stil import STiL, STiLState
-from stil_tta_tpu.data.loader import gather_batch
+from stil_tta_tpu.data.loader import gather_batch, marginal_table
 from stil_tta_tpu.losses import cross_entropy
 
 
@@ -39,7 +39,7 @@ class Supervised(STiL):
             imgs = self.aug_train(k1, bl["images"],
                                   apply_rate=float(cfg.augmentation_rate))
             from stil_tta_tpu.data.corrupt import corrupt_tabular
-            tabs = corrupt_tabular(k2, bl["tabular"], cache_l["tabular"],
+            tabs = corrupt_tabular(k2, bl["tabular"], marginal_table(cache_l),
                                    float(cfg.corruption_rate))
 
             def loss_fn(params):

@@ -21,7 +21,7 @@ import flax.linen as nn
 
 from stil_tta_tpu.algorithms.match_common import MatchBase, MatchState
 from stil_tta_tpu.data.corrupt import corrupt_tabular
-from stil_tta_tpu.data.loader import gather_batch
+from stil_tta_tpu.data.loader import gather_batch, marginal_table
 from stil_tta_tpu.losses import cross_entropy
 
 
@@ -77,7 +77,7 @@ class TabularEval(MatchBase):
             # corrupt each row with prob eval_train_augment_rate
             # (``TabularDataset.py:63-78``: train-time marginal corruption)
             corrupted = corrupt_tabular(kc, bl["tabular"],
-                                        cache_l["tabular"], crate)
+                                        marginal_table(cache_l), crate)
             gate = jax.random.uniform(kg, (y.shape[0], 1)) < rate
             tabs = jnp.where(gate, corrupted, bl["tabular"])
 

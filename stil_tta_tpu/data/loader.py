@@ -82,6 +82,20 @@ class CyclingSampler:
             return next(self._it)
 
 
+class CyclingEpochView:
+    """Adapt a cycling labeled sampler to the ``.epoch()`` protocol with
+    a fixed step count (the unlabeled epoch length) — the host-stream
+    analog of the driver's dual-loader cycling."""
+
+    def __init__(self, cycling, steps: int):
+        self.cycling = cycling
+        self.steps = steps
+
+    def epoch(self) -> Iterator[tuple]:
+        for _ in range(self.steps):
+            yield self.cycling.next()
+
+
 class WeightedSampler:
     """Class-weighted sampling with replacement — the reference's
     ``WeightedRandomSampler`` path (``trainers/evaluate.py:108-112``:
@@ -124,6 +138,14 @@ class DeviceCache:
         return d
 
 
+def marginal_table(cache: dict) -> jax.Array:
+    """Full-dataset tabular table used as the corruption marginal
+    (``TabularDataset.py:63-78`` samples replacement values from the
+    whole column). DeviceCache exposes it as ``tabular``; HostStream's
+    per-batch virtual caches carry it under ``marginal``."""
+    return cache.get("marginal", cache["tabular"])
+
+
 def gather_batch(cache: dict, idx: jax.Array) -> dict:
     """Device-side batch assembly (call inside jit)."""
     out = {
@@ -157,6 +179,8 @@ class HostStream:
             "labelled": self.source.labelled[idx],
             "weight": w,
         }
+        if self.source.missing is not None:
+            batch["missing"] = self.source.missing[idx]
         if self.sharding is not None:
             return {k: jax.device_put(v, self.sharding)
                     for k, v in batch.items()}

@@ -134,8 +134,20 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         cfg.K = len(src_l)
 
     algo = get_algorithm(cfg.algorithm_name)(cfg, field_lengths)
-    cache_l = DeviceCache(src_l).as_dict()
-    cache_u = DeviceCache(src_u).as_dict()
+    # host_stream: for datasets larger than HBM, train batches are
+    # gathered on the host (native C++ gather + prefetch thread) and the
+    # fused step consumes per-batch "virtual caches" via identity
+    # gather; the full tabular table still lives on device so the
+    # corruption marginals stay exact (``marginal_table``). Val/test
+    # stay HBM-cached (eval splits are small).
+    use_host_stream = bool(cfg.host_stream)
+    if use_host_stream:
+        cache_l = cache_u = None
+        marg_l = jax.device_put(np.asarray(src_l.tabular, np.float32))
+        marg_u = jax.device_put(np.asarray(src_u.tabular, np.float32))
+    else:
+        cache_l = DeviceCache(src_l).as_dict()
+        cache_u = DeviceCache(src_u).as_dict()
     cache_val = DeviceCache(sources["val"]).as_dict()
 
     rng = jax.random.key(int(cfg.seed or 0))
@@ -222,9 +234,25 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         optim.set_learning_rate(state.opt_state, lr)
         t0 = time.time()
         epoch_arr = jnp.asarray(epoch, jnp.int32)
-        pairs = [(l_sampler.next()[0], idx_u)
-                 for idx_u, _ in u_sampler.epoch()]
-        if scan_step is not None:
+        if use_host_stream:
+            from stil_tta_tpu.data.loader import (CyclingEpochView,
+                                                  HostStream)
+            keys = ("images", "tabular", "labels", "labelled", "missing")
+            il = jnp.arange(l_batch, dtype=jnp.int32)
+            iu = jnp.arange(u_batch, dtype=jnp.int32)
+            l_stream = HostStream(
+                src_l, CyclingEpochView(l_sampler, steps_per_epoch))
+            u_stream = HostStream(src_u, u_sampler)
+            for bl, bu in zip(l_stream.epoch(), u_stream.epoch()):
+                vl = {k: bl[k] for k in keys if k in bl}
+                vu = {k: bu[k] for k in keys if k in bu}
+                vl["marginal"], vu["marginal"] = marg_l, marg_u
+                state = train_step(state, vl, vu, il, iu, epoch_arr)
+            pairs = []
+        else:
+            pairs = [(l_sampler.next()[0], idx_u)
+                     for idx_u, _ in u_sampler.epoch()]
+        if not use_host_stream and scan_step is not None:
             from stil_tta_tpu.train.multistep import chunk_indices
             blocks, tail = chunk_indices(pairs, spd)
             for il_k, iu_k in blocks:
