@@ -108,8 +108,12 @@ class SAINTEncoder(nn.Module):
         total_tokens = int(sum(int(c) for c in self.cat_lengths)) + 1
 
         cls = jnp.zeros((b, 1), jnp.int32)
-        x_categ = jnp.concatenate(
-            [cls, x[:, :ncat].astype(jnp.int32)], axis=1) + offsets
+        # clamp per-column to the valid cardinality range (an unclamped
+        # jnp gather fills NaN under jit on out-of-range values; torch
+        # would hard-crash instead)
+        lens = jnp.asarray([int(c) for c in self.cat_lengths], jnp.int32)
+        cat = jnp.clip(x[:, :ncat].astype(jnp.int32), 0, lens - 1)
+        x_categ = jnp.concatenate([cls, cat], axis=1) + offsets
         embeds = nn.Embed(total_tokens, dim, param_dtype=jnp.float32,
                           name="embeds")
         x_categ_enc = embeds(x_categ).astype(self.dtype)  # (B, ncat+1, dim)

@@ -96,7 +96,14 @@ class TabularTransformerEncoder(nn.Module):
         b = x.shape[0]
         parts = []
         if self.num_cat > 0:
-            cat_ids = x[:, :self.num_cat].astype(jnp.int32) + self.cat_offsets
+            # clamp per-column to [0, cardinality-1] (the torch one_hot
+            # path clamps the same way — ``...Dataset.py:163``; the raw
+            # torch embedding would hard-crash on out-of-range values,
+            # while an unclamped jnp gather fills NaN under jit)
+            lens = jnp.asarray(self.cat_lengths, jnp.int32)
+            cat = jnp.clip(x[:, :self.num_cat].astype(jnp.int32), 0,
+                           lens - 1)
+            cat_ids = cat + self.cat_offsets
             parts.append(self.cat_embedding(cat_ids).astype(self.dtype))
         if self.num_con > 0:
             con = x[:, self.num_cat:].astype(self.dtype)[..., None]  # (B,Ncon,1)

@@ -47,7 +47,8 @@ class Predictor:
                 logits = out
             return jax.nn.softmax(logits.astype(jnp.float32), axis=1)
 
-        self._fwd = jax.jit(fwd)
+        from stil_tta_tpu.utils.jax_setup import lazy_tuned
+        self._fwd = lazy_tuned(jax.jit(fwd))
 
     @classmethod
     def from_checkpoint(cls, cfg, checkpoint: str,

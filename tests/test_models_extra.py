@@ -111,3 +111,31 @@ def test_attention_gradients():
     assert grads[0].shape == (2, 8, 4, 4)
     # CLS-sum scalar must have nonzero sensitivity to the attention maps
     assert float(np.abs(np.asarray(grads[0])).sum()) > 0
+
+
+def test_out_of_range_categorical_values_stay_finite():
+    """Out-of-range / negative categorical codes must clamp, not hit
+    jnp.take's NaN fill (torch would hard-crash; serving shouldn't)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stil_tta_tpu.models.tabular_transformer import (
+        TabularTransformerEncoder)
+    from stil_tta_tpu.models.saint import SAINTEncoder
+
+    fl = (5, 4, 2, 1, 1)
+    bad = jnp.asarray([[-3.0, 99.0, 1.4, 0.5, -2.0],
+                       [7.0, -1.0, 5.0, 1.0, 3.0]])
+    enc = TabularTransformerEncoder(cat_lengths=fl[:3],
+                                    con_lengths=fl[3:],
+                                    embedding_dim=32, num_layers=1)
+    v = enc.init(jax.random.key(0), bad)
+    out = enc.apply(v, bad)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    se = SAINTEncoder(cat_lengths=(5, 4, 2), num_continuous=2,
+                      token_dim=8, depth=1, heads=2)
+    v = se.init(jax.random.key(0), bad)
+    out = se.apply(v, bad)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
