@@ -67,6 +67,8 @@ class Predictor:
         n = len(images)
         bs = self.batch_size
         outs = []
+        # dispatch every batch asynchronously, fetch after the loop —
+        # host->device transfer of batch k+1 overlaps compute of batch k
         for start in range(0, n, bs):
             img = images[start:start + bs]
             tab = tabular[start:start + bs]
@@ -74,10 +76,11 @@ class Predictor:
             if pad:  # static shapes: pad the tail batch
                 img = np.concatenate([img, np.repeat(img[:1], pad, 0)])
                 tab = np.concatenate([tab, np.repeat(tab[:1], pad, 0)])
-            p = np.asarray(self._fwd(self.params, self.batch_stats,
-                                     jnp.asarray(img), jnp.asarray(tab)))
-            outs.append(p[:bs - pad] if pad else p)
-        return np.concatenate(outs)
+            outs.append((self._fwd(self.params, self.batch_stats,
+                                   jnp.asarray(img), jnp.asarray(tab)),
+                         pad))
+        return np.concatenate([np.asarray(p)[:bs - pad] if pad
+                               else np.asarray(p) for p, pad in outs])
 
 
 def main():
