@@ -24,6 +24,7 @@ north-star target is 5x => vs_baseline 5.0.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 A100_REFERENCE_SAMPLES_PER_SEC = 1200.0
@@ -71,7 +72,12 @@ def main():
     cache_l = DeviceCache(src_l).as_dict()
     cache_u = DeviceCache(src_u).as_dict()
 
-    rng = jax.random.key(0)
+    # rbg PRNG: counter-based RngBitGenerator instead of threefry — the
+    # train step burns ~2-3 ms/step in threefry key-derivation kernels
+    # (dropout masks + per-sample augmentation splits); the typed key
+    # propagates the impl through every split inside the step.
+    impl = os.environ.get("STIL_PRNG_IMPL", "threefry")
+    rng = jax.random.key(0, impl=impl)
     state = algo.init_state(rng,
                             jnp.zeros((2, img_size, img_size, 3)),
                             jnp.asarray(src_l.tabular[:2]))
@@ -81,7 +87,6 @@ def main():
     # (steps_per_dispatch default; amortises host/tunnel latency —
     # k=8: 5138/s, k=16: 5185/s, k=32: 5212/s but long real-epoch tails)
     from stil_tta_tpu.train.multistep import make_scan_train_step
-    import os
     k = int(os.environ.get("STIL_BENCH_K", "16"))
     scan_step = make_scan_train_step(train_step, k)
 

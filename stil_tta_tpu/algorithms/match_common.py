@@ -239,7 +239,8 @@ class MatchBase:
         net, aug = self.net, self.aug_eval
         from stil_tta_tpu.data.loader import gather_batch
 
-        def step(params, batch_stats, cache, idx):
+        def step(params, batch_stats, cache, idx, pad_w=None):
+            del pad_w  # pad rows are dropped host-side (no batch losses)
             batch = gather_batch(cache, idx)
             imgs = aug(jax.random.key(0), batch["images"])
             out = net.apply({"params": params, "batch_stats": batch_stats},

@@ -106,7 +106,8 @@ class MMatch(MatchBase):
     def make_eval_step(self):
         net, aug = self.net, self.aug_eval
 
-        def step(params, batch_stats, cache, idx):
+        def step(params, batch_stats, cache, idx, pad_w=None):
+            del pad_w  # pad rows are dropped host-side (no batch losses)
             batch = gather_batch(cache, idx)
             imgs = aug(jax.random.key(0), batch["images"])
             om, oi, ot, _ = net.apply(

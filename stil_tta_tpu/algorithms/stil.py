@@ -284,6 +284,68 @@ class STiL:
             hard = jax.nn.one_hot(jnp.argmax(label, axis=1), c) * conf
             return hard.T @ feat, jnp.sum(hard, axis=0)[:, None]
 
+        def derive_targets(tout, da_state, prototypes, k_case3, b_l, y_l,
+                           epoch):
+            """CGPL cases + PGLS blending from (stop-gradient) teacher
+            outputs (``STiLModel.py:262-321``). With use_ema=False the
+            'teacher' outputs are the student's own train-mode forward
+            (``STiLModel.py:256-257``), so this runs inside loss_fn."""
+            f = lambda m: m.astype(jnp.float32)
+            feat_m_le = tout["feat_m"][:b_l]
+            feat_m_ue = tout["feat_m"][b_l:]
+            yh_m_ue = tout["out_m"][b_l:]
+            yh_i_ue = tout["out_i"][b_l:]
+            yh_t_ue = tout["out_t"][b_l:]
+            b_u = yh_m_ue.shape[0]
+
+            # ---- CGPL case identification (:262-274)
+            top_m = jnp.argmax(yh_m_ue, axis=1)
+            top_i = jnp.argmax(yh_i_ue, axis=1)
+            top_t = jnp.argmax(yh_t_ue, axis=1)
+            case1 = (top_m == top_i) & (top_m == top_t)
+            case2_i = (top_m == top_i) & (top_m != top_t)
+            case2_t = (top_m == top_t) & (top_m != top_i)
+            case3 = ~(case1 | case2_i | case2_t)
+            pl1 = sharpen((yh_m_ue + yh_i_ue + yh_t_ue) / 3.0, 1.0)
+            pl2i = sharpen((yh_m_ue + yh_i_ue) / 2.0, 1.0)
+            pl2t = sharpen((yh_m_ue + yh_t_ue) / 2.0, 1.0)
+            pl3 = sharpen(yh_m_ue, 1.0)
+            pseudo_orig = (f(case1)[:, None] * pl1
+                           + f(case2_i)[:, None] * pl2i
+                           + f(case2_t)[:, None] * pl2t
+                           + f(case3)[:, None] * pl3)
+            if use_da:
+                da, prediction = distribution_alignment(
+                    da_state, jax.nn.softmax(yh_m_ue, axis=1))
+            else:
+                da, prediction = da_state, sharpen(yh_m_ue, 1.0)
+
+            # ---- PGLS blending (:291-303)
+            teacher_probs = jax.nn.softmax(
+                (feat_m_ue @ prototypes.T) / temp, axis=1)
+            pseudo_label = (rate_pseudo * pseudo_orig
+                            + (1 - rate_pseudo) * teacher_probs)
+            prediction = (rate_pseudo * prediction
+                          + (1 - rate_pseudo) * teacher_probs)
+            mask1 = f(jnp.max(prediction, axis=1) >= th1)
+            mask_rand = f(jax.random.uniform(k_case3, (b_u,)) >= 0.5)
+
+            # prediction participates in prototype/PT targets only after
+            # start_epoch (:317-321)
+            use_pseudo = f(epoch > start_epoch)
+            prediction_gated = prediction * use_pseudo
+            pseudo_label_all = jnp.concatenate(
+                [jax.nn.one_hot(y_l, c, dtype=jnp.float32),
+                 prediction_gated], axis=0)
+            return {
+                "feat_m_le": feat_m_le, "feat_m_ue": feat_m_ue,
+                "case1": case1, "case2_i": case2_i,
+                "case2_t": case2_t, "case3": case3,
+                "pseudo_label": pseudo_label, "mask1": mask1,
+                "mask_rand": mask_rand, "use_pseudo": use_pseudo,
+                "pseudo_label_all": pseudo_label_all, "da": da,
+            }
+
         def step(state: STiLState, cache_l, cache_u, idx_l, idx_u,
                  epoch: jax.Array):
             rng, k_views, k_drop, k_case3 = jax.random.split(state.rng, 4)
@@ -305,6 +367,7 @@ class STiL:
                                           axis=0)
 
             # ---- EMAN teacher update THEN teacher forward (:249-258)
+            prototypes = state.prototypes
             if use_ema:
                 ema_p, ema_bs = ema_update(
                     state.ema_params, state.params["backbone"], momentum,
@@ -318,66 +381,37 @@ class STiL:
                                   "batch_stats": t_stats},
                                  images, tabs, missing,
                                  method=STiLNet.teacher)
+                tout = jax.lax.stop_gradient(tout)
+                tg_outer = derive_targets(tout, state.da, prototypes,
+                                          k_case3, b_l, y_l, epoch)
             else:
+                # no EMA: the reference reuses the student's train-mode
+                # outputs as the teacher (``STiLModel.py:256-257``) —
+                # targets are derived inside loss_fn from a stop-gradient
+                # view of the student forward
                 ema_p, ema_bs = state.ema_params, state.ema_batch_stats
-                tout = net.apply({"params": state.params,
-                                  "batch_stats": state.batch_stats},
-                                 images, tabs, missing,
-                                 method=STiLNet.teacher)
-            tout = jax.lax.stop_gradient(tout)
-            feat_m_le = tout["feat_m"][:b_l]
-            feat_m_ue = tout["feat_m"][b_l:]
-            yh_m_ue = tout["out_m"][b_l:]
-            yh_i_ue = tout["out_i"][b_l:]
-            yh_t_ue = tout["out_t"][b_l:]
-
-            # ---- CGPL case identification (:262-274)
-            top_m = jnp.argmax(yh_m_ue, axis=1)
-            top_i = jnp.argmax(yh_i_ue, axis=1)
-            top_t = jnp.argmax(yh_t_ue, axis=1)
-            case1 = (top_m == top_i) & (top_m == top_t)
-            case2_i = (top_m == top_i) & (top_m != top_t)
-            case2_t = (top_m == top_t) & (top_m != top_i)
-            case3 = ~(case1 | case2_i | case2_t)
-            f = lambda m: m.astype(jnp.float32)
-            pl1 = sharpen((yh_m_ue + yh_i_ue + yh_t_ue) / 3.0, 1.0)
-            pl2i = sharpen((yh_m_ue + yh_i_ue) / 2.0, 1.0)
-            pl2t = sharpen((yh_m_ue + yh_t_ue) / 2.0, 1.0)
-            pl3 = sharpen(yh_m_ue, 1.0)
-            pseudo_orig = (f(case1)[:, None] * pl1 + f(case2_i)[:, None] * pl2i
-                           + f(case2_t)[:, None] * pl2t
-                           + f(case3)[:, None] * pl3)
-            if use_da:
-                da, prediction = distribution_alignment(
-                    state.da, jax.nn.softmax(yh_m_ue, axis=1))
-            else:
-                da, prediction = state.da, sharpen(yh_m_ue, 1.0)
-
-            # ---- PGLS blending (:291-303)
-            prototypes = state.prototypes
-            teacher_probs = jax.nn.softmax(
-                (feat_m_ue @ prototypes.T) / temp, axis=1)
-            pseudo_label = (rate_pseudo * pseudo_orig
-                            + (1 - rate_pseudo) * teacher_probs)
-            prediction = (rate_pseudo * prediction
-                          + (1 - rate_pseudo) * teacher_probs)
-            mask1 = f(jnp.max(prediction, axis=1) >= th1)
-            mask_rand = f(jax.random.uniform(k_case3, (b_u,)) >= 0.5)
-
-            # prediction participates in prototype/PT targets only after
-            # start_epoch (:317-321)
-            use_pseudo = f(epoch > start_epoch)
-            prediction_gated = prediction * use_pseudo
-            pseudo_label_all = jnp.concatenate(
-                [jax.nn.one_hot(y_l, c, dtype=jnp.float32),
-                 prediction_gated], axis=0)
+                tg_outer = None
 
             # ---- student forward + losses
             def loss_fn(params):
+                f = lambda m: m.astype(jnp.float32)
                 outs, mut = net.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     images, tabs, train=True, missing_mask=missing,
                     mutable=["batch_stats"], rngs={"dropout": k_drop})
+                if tg_outer is None:
+                    tout = jax.lax.stop_gradient({
+                        "out_m": outs["out_m"], "out_i": outs["out_i"],
+                        "out_t": outs["out_t"], "feat_m": outs["feat_m"]})
+                    tg = derive_targets(tout, state.da, prototypes,
+                                        k_case3, b_l, y_l, epoch)
+                else:
+                    tg = tg_outer
+                case1, case2_i = tg["case1"], tg["case2_i"]
+                case2_t, case3 = tg["case2_t"], tg["case3"]
+                mask1, mask_rand = tg["mask1"], tg["mask_rand"]
+                pseudo_label = tg["pseudo_label"]
+                use_pseudo = tg["use_pseudo"]
                 yh_m, yh_i, yh_t = outs["out_m"], outs["out_i"], outs["out_t"]
                 loss_ce = (cross_entropy(yh_m[:b_l], y_l)
                            + cross_entropy(yh_i[:b_l], y_l)
@@ -396,7 +430,7 @@ class STiL:
                                            temp, lam0)
                 club_i, club_i_est = club_losses(outs["mu_i"], outs["x_ai"])
                 club_t, club_t_est = club_losses(outs["mu_t"], outs["x_at"])
-                loss_pt = prototype_loss(pseudo_label_all, prototypes,
+                loss_pt = prototype_loss(tg["pseudo_label_all"], prototypes,
                                          outs["feat_m"], temp, th1)
                 base = (alpha * loss_ce + beta * loss_itc
                         + gamma * (club_i + club_i_est
@@ -420,10 +454,11 @@ class STiL:
                     "CLUBloss_tabular_est": club_t_est,
                     "PTloss": loss_pt, "loss": total,
                 }
-                return total, (mut["batch_stats"], outs["out_m"], logs)
+                return total, (mut["batch_stats"], outs["out_m"], logs, tg)
 
-            grads, (new_stats, yh_m, logs) = jax.grad(
+            grads, (new_stats, yh_m, logs, tg) = jax.grad(
                 loss_fn, has_aux=True)(state.params)
+            da = tg["da"]
             updates, new_opt = tx.update(grads, state.opt_state,
                                          state.params)
             new_params = jax.tree_util.tree_map(
@@ -431,8 +466,11 @@ class STiL:
 
             # ---- prototype accumulation (:374-381): teacher features,
             # labeled terms scaled by 1/repeat_ratio
-            sum_l, cnt_l = cal_prototypes(pseudo_label_all[:b_l], feat_m_le)
-            sum_u, cnt_u = cal_prototypes(pseudo_label_all[b_l:], feat_m_ue)
+            pseudo_label_all = tg["pseudo_label_all"]
+            sum_l, cnt_l = cal_prototypes(pseudo_label_all[:b_l],
+                                          tg["feat_m_le"])
+            sum_u, cnt_u = cal_prototypes(pseudo_label_all[b_l:],
+                                          tg["feat_m_ue"])
             proto_sum = state.prototypes_sum + sum_l / repeat_ratio + sum_u
             proto_cnt = state.prototypes_count + cnt_l / repeat_ratio + cnt_u
 
@@ -516,26 +554,36 @@ class STiL:
         temp = float(self.cfg.temperature)
         lam0 = float(self.cfg.lambda_0)
 
-        def step(params, batch_stats, cache, idx):
+        def step(params, batch_stats, cache, idx, pad_w=None):
             batch = gather_batch(cache, idx)
             imgs = aug(jax.random.key(0), batch["images"])  # resize only
             outs = net.apply({"params": params, "batch_stats": batch_stats},
                              imgs, batch["tabular"], train=False,
                              missing_mask=batch.get("missing"))
+            # pad weights: the final val batch is padded to static shape;
+            # the reference's loader isn't, so every reduction below
+            # excludes pad rows to compute what the smaller batch would
+            w = (jnp.ones((idx.shape[0],), jnp.float32) if pad_w is None
+                 else pad_w.astype(jnp.float32))
+            denom = jnp.clip(jnp.sum(w), 1.0)
             # val losses (``STiLModel.py:434-455``)
             loss_itc, itc_logits, itc_labels = clip_loss(
-                outs["feat_i"], outs["feat_t"], temp, lam0)
+                outs["feat_i"], outs["feat_t"], temp, lam0, row_weights=w)
             # embedding retrieval accuracy (``STiLModel.py:551-555``:
-            # multimodal.val.top1/top5 on the ITC similarity matrix)
+            # multimodal.val.top1/top5 on the ITC similarity matrix;
+            # pad columns are -1e9 in itc_logits so never retrieved)
             ranks = jnp.argsort(-itc_logits, axis=1)
-            top1 = jnp.mean((ranks[:, 0] == itc_labels)
-                            .astype(jnp.float32))
-            top5 = jnp.mean(jnp.any(
+            top1 = jnp.sum((ranks[:, 0] == itc_labels)
+                           .astype(jnp.float32) * w) / denom
+            top5 = jnp.sum(jnp.any(
                 ranks[:, :5] == itc_labels[:, None], axis=1)
-                .astype(jnp.float32))
-            loss_ce = cross_entropy(outs["out_m"], batch["labels"])
-            club_i, club_i_est = club_losses(outs["mu_i"], outs["x_ai"])
-            club_t, club_t_est = club_losses(outs["mu_t"], outs["x_at"])
+                .astype(jnp.float32) * w) / denom
+            loss_ce = jnp.sum(cross_entropy(outs["out_m"], batch["labels"],
+                                            "none") * w) / denom
+            club_i, club_i_est = club_losses(outs["mu_i"], outs["x_ai"],
+                                             weights=w)
+            club_t, club_t_est = club_losses(outs["mu_t"], outs["x_at"],
+                                             weights=w)
             return {
                 "prob_m": jax.nn.softmax(outs["out_m"], axis=1),
                 "prob_i": jax.nn.softmax(outs["out_i"], axis=1),

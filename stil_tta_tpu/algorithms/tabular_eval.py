@@ -108,8 +108,8 @@ class TabularEval(MatchBase):
     def make_eval_step(self):
         net = self.net
 
-        def step(params, batch_stats, cache, idx):
-            del batch_stats
+        def step(params, batch_stats, cache, idx, pad_w=None):
+            del batch_stats, pad_w
             batch = gather_batch(cache, idx)
             logits = net.apply({"params": params}, None, batch["tabular"],
                                train=False)

@@ -30,12 +30,16 @@ class CLUBMean(nn.Module):
         return nn.Dense(self.y_dim, param_dtype=jnp.float32, name="fc2")(h)
 
 
-def club_losses(mu: jax.Array, y_samples: jax.Array):
+def club_losses(mu: jax.Array, y_samples: jax.Array,
+                weights: jax.Array | None = None):
     """Given mu = CLUBMean(x), return (mi_upper_bound, learning_loss).
 
     mi bound (``club.py:105-125``): positive = -(mu - y)^2 / 2 summed over
     dims; negative pairs via the full (B, B) difference; mean over batch.
     learning loss (``club.py:127-130``): -loglikelihood.
+
+    ``weights`` (0/1 per row) excludes padded rows from every reduction
+    (incl. the negative-pair means), matching the unpadded computation.
     """
     mu = mu.astype(jnp.float32)
     y = y_samples.astype(jnp.float32)
@@ -43,10 +47,18 @@ def club_losses(mu: jax.Array, y_samples: jax.Array):
     # negative_i = -mean_j ||y_j - mu_i||^2 / 2, expanded algebraically to
     # avoid materialising the reference's (B, B, D) tensor
     # (``club.py:113-119``): mean_j||y_j||^2 - 2 mu_i . mean_j y_j + ||mu_i||^2
-    y_sq_mean = jnp.mean(jnp.sum(y ** 2, axis=-1))
-    y_mean = jnp.mean(y, axis=0)
+    if weights is None:
+        y_sq_mean = jnp.mean(jnp.sum(y ** 2, axis=-1))
+        y_mean = jnp.mean(y, axis=0)
+        wmean = jnp.mean
+    else:
+        w = weights.astype(jnp.float32)
+        denom = jnp.clip(jnp.sum(w), 1.0)
+        y_sq_mean = jnp.sum(jnp.sum(y ** 2, axis=-1) * w) / denom
+        y_mean = jnp.sum(y * w[:, None], axis=0) / denom
+        wmean = lambda v: jnp.sum(v * w) / denom
     negative = -(y_sq_mean - 2.0 * (mu @ y_mean)
                  + jnp.sum(mu ** 2, axis=-1)) / 2.0
-    mi_bound = jnp.mean(positive - negative)
-    learning_loss = jnp.mean(jnp.sum((mu - y) ** 2, axis=1))
+    mi_bound = wmean(positive - negative)
+    learning_loss = wmean(jnp.sum((mu - y) ** 2, axis=1))
     return mi_bound, learning_loss

@@ -75,17 +75,24 @@ def run_validation(eval_step, params, batch_stats, cache, batch_size,
     for idx, w in sampler.epoch():
         # async dispatch; fetch after the loop so device work pipelines
         outs.append((eval_step(params, batch_stats, cache,
-                               jnp.asarray(idx)), w))
+                               jnp.asarray(idx), jnp.asarray(w)), w))
     loss_sums: Dict[str, float] = {}
+    loss_counts: Dict[str, int] = {}
     for out, w in outs:
         keep = w > 0
+        full = bool(keep.all())
         probs_m.append(np.asarray(out["prob_m"])[keep])
         if "prob_i" in out:
             probs_i.append(np.asarray(out["prob_i"])[keep])
             probs_t.append(np.asarray(out["prob_t"])[keep])
         ys.append(np.asarray(out["labels"])[keep])
         for k, v in out.get("losses", {}).items():
+            # embedding retrieval accuracy is skipped for non-full
+            # batches, as the reference does (``STiLModel.py:437``)
+            if k in ("top1", "top5") and not full:
+                continue
             loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+            loss_counts[k] = loss_counts.get(k, 0) + 1
     y = np.concatenate(ys)
     metrics = compute_eval_metrics(np.concatenate(probs_m), y, num_classes,
                                    prefix)
@@ -104,9 +111,8 @@ def run_validation(eval_step, params, batch_stats, cache, batch_size,
         metrics[f"{prefix}.auc_tabular"] = metrics.pop(
             f"{prefix}_tabular.auc")
     if prefix == "eval.val":  # reference logs val losses only
-        n_batches = max(len(outs), 1)
         for k, v in loss_sums.items():
-            metrics[f"multimodal.val.{k}"] = v / n_batches
+            metrics[f"multimodal.val.{k}"] = v / max(loss_counts[k], 1)
     return metrics
 
 
@@ -214,6 +220,8 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
                                       else "auc")
     monitor = f"eval.val.{eval_metric}"
     best = -np.inf
+    es_best = -np.inf  # EarlyStopping tracks its own best with min_delta;
+    # ModelCheckpoint saves on ANY improvement (Lightning semantics)
     patience = int((40 if cfg.sweep else 100)
                    * (1.0 / float(cfg.val_check_interval or 1.0)))
     bad_epochs = 0
@@ -278,14 +286,19 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
             logger.log(val_metrics, step=epoch)
             val_metric_value = val_metrics.get(monitor)
             history.append(val_metrics)
-            if val_metric_value is not None and \
-                    val_metric_value > best + 1e-4:
+            if val_metric_value is not None and val_metric_value > best:
                 best = val_metric_value
-                bad_epochs = 0
                 if cfg.save_checkpoints is None or cfg.save_checkpoints:
                     save_checkpoint(logdir, state, cfg.to_dict(),
                                     name=f"checkpoint_best_{eval_metric}",
                                     block=not cfg.async_checkpoints)
+            # the 1e-4 min_delta applies to early stopping only
+            # (reference EarlyStopping(min_delta=1e-4); ModelCheckpoint
+            # has no delta — ``trainers/evaluate.py:173-174``)
+            if val_metric_value is not None and \
+                    val_metric_value > es_best + 1e-4:
+                es_best = val_metric_value
+                bad_epochs = 0
             else:
                 bad_epochs += 1
                 if bad_epochs >= patience:

@@ -56,27 +56,39 @@ def adapt(cfg, algo, state, cache):
     aug = algo.aug_eval
     n = int(np.asarray(cache["labels"]).shape[0])
 
-    # ---- phase 1: BN statistics re-estimation on the shifted data
+    # ---- phase 1: BN statistics re-estimation on the shifted data.
+    # Dropout is disabled for the stats pass (a rate-0 clone) so the
+    # re-estimated statistics are noise-free, and flax BatchNorm's
+    # internal running-stat momentum is algebraically inverted so that
+    # ``tta_momentum`` alone controls the adaptation rate.
+    from stil_tta_tpu.models.resnet import BN
+    bn_m = float(BN.keywords["momentum"])  # torch-semantics 0.9
+    stats_net = net.clone(**{k: 0.0 for k in ("drop_rate",
+                                              "embedding_dropout")
+                             if hasattr(net, k)})
+
     @jax.jit
-    def stats_step(batch_stats, images, tabular, key):
+    def stats_step(batch_stats, images, tabular):
         imgs = aug(jax.random.key(0), images)
-        _, mut = net.apply(
+        _, mut = stats_net.apply(
             {"params": state.params, "batch_stats": batch_stats},
             imgs, tabular, train=True, mutable=["batch_stats"],
-            rngs={"dropout": key})
-        # momentum-blend toward the test-batch statistics
-        return jax.tree_util.tree_map(
-            lambda old, new: (1 - momentum) * old + momentum * new,
+            rngs={"dropout": jax.random.key(0)})
+        # recover the raw test-batch statistics from flax's internal
+        # blend (new = m*old + (1-m)*batch), then apply tta_momentum once
+        batch = jax.tree_util.tree_map(
+            lambda old, new: (new - bn_m * old) / (1.0 - bn_m),
             batch_stats, mut["batch_stats"])
+        return jax.tree_util.tree_map(
+            lambda old, b: (1 - momentum) * old + momentum * b,
+            batch_stats, batch)
 
     bs = state.batch_stats
     sampler = EpochSampler(n, batch_size, shuffle=True, drop_last=False,
                            seed=0)
-    rng = jax.random.key(int(cfg.seed or 0))
     for idx, _ in sampler.epoch():
-        rng, k = jax.random.split(rng)
         bs = stats_step(bs, jnp.take(cache["images"], jnp.asarray(idx), 0),
-                        jnp.take(cache["tabular"], jnp.asarray(idx), 0), k)
+                        jnp.take(cache["tabular"], jnp.asarray(idx), 0))
     state = dataclasses.replace(state, batch_stats=bs)
     if strategy == "bn_adapt":
         return state

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Microbenchmark: the ResNet bottleneck 1x1-conv + fused-BN pattern.
+
+The round-1 trace attribution (docs/BENCHMARKS.md) shows ~50 ms/step of
+the 97.5 ms STiL train step inside XLA "conv + BN-stat" fusions for the
+1x1 convolutions of the bottleneck blocks (the convert_reduce_fusion
+kernels fuse the conv, the f32 stat reductions, and the normalize/relu
+of the *previous* layer's raw output). These kernels run ~2x off the
+HBM roofline, so this probe measures, at the hottest shape
+(layer1 conv1: M=512*32*32, K=256, N=64):
+
+  gemm          plain a@w (lower bound for the conv itself)
+  conv1x1       lax.conv 1x1 NHWC (what the network traces to)
+  xla_chain     normalize+relu(prev_raw) -> 1x1 conv -> y, sum, sumsq
+                (the full fused in-network pattern, XLA-compiled)
+  pallas_chain  the same pattern as ONE pallas kernel: bf16 affine
+                prologue (A*x+B, max 0), MXU dot, bf16 store, f32
+                stat epilogue accumulated across the grid
+
+Timing over the axon tunnel: each variant runs ITERS times inside one
+jitted fori_loop with a tiny feedback through w (serializes iterations
+without re-reading host data); per-iter time is the slope between two
+iteration counts, which cancels dispatch overhead.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_IMG, H, W = 512, 32, 32
+M = N_IMG * H * W            # 524288
+K, N = 256, 64               # layer1 conv1 shape (hottest scope)
+
+
+def make_inputs(seed: int = 0):
+    rs = np.random.RandomState(seed)
+    raw = jnp.asarray(rs.randn(M, K), jnp.bfloat16)
+    w = jnp.asarray(rs.randn(K, N) * 0.05, jnp.bfloat16)
+    a_scale = jnp.asarray(rs.rand(K) + 0.5, jnp.float32)
+    b_shift = jnp.asarray(rs.randn(K) * 0.1, jnp.float32)
+    return raw, w, a_scale, b_shift
+
+
+# ------------------------------ variants ------------------------------
+
+def gemm(raw, w, A, B):
+    y = jnp.dot(raw, w, preferred_element_type=jnp.float32)
+    return (y.astype(jnp.bfloat16),)
+
+
+def conv1x1(raw, w, A, B):
+    x = raw.reshape(N_IMG, H, W, K)
+    y = jax.lax.conv_general_dilated(
+        x, w.reshape(1, 1, K, N), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return (y.astype(jnp.bfloat16).reshape(M, N),)
+
+
+def xla_chain(raw, w, A, B):
+    h = jnp.maximum(raw.astype(jnp.float32) * A + B, 0.0).astype(jnp.bfloat16)
+    y = jnp.dot(h, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    yf = y.astype(jnp.float32)
+    return y, jnp.sum(yf, axis=0), jnp.sum(yf * yf, axis=0)
+
+
+def _chain_kernel(raw_ref, w_ref, ab_ref, y_ref, s1_ref, s2_ref):
+    i = pl.program_id(0)
+    A = ab_ref[0, :].astype(jnp.bfloat16)
+    B = ab_ref[1, :].astype(jnp.bfloat16)
+    h = jnp.maximum(raw_ref[:] * A[None, :] + B[None, :],
+                    jnp.bfloat16(0))
+    y = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+    yb = y.astype(jnp.bfloat16)
+    y_ref[:] = yb
+    yf = yb.astype(jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        s2_ref[:] = jnp.zeros_like(s2_ref)
+
+    s1_ref[:] += jnp.sum(yf, axis=0, keepdims=True)
+    s2_ref[:] += jnp.sum(yf * yf, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tm",))
+def pallas_chain_call(raw, w, A, B, tm=2048):
+    ab = jnp.stack([A, B])  # (2, K) f32
+    grid = (M // tm,)
+    y, s1, s2 = pl.pallas_call(
+        _chain_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+        ],
+    )(raw, w, ab)
+    return y, s1[0], s2[0]
+
+
+def pallas_chain(raw, w, A, B):
+    return pallas_chain_call(raw, w, A, B)
+
+
+VARIANTS = {
+    "gemm": gemm,
+    "conv1x1": conv1x1,
+    "xla_chain": xla_chain,
+    "pallas_chain": pallas_chain,
+}
+
+
+# ------------------------------ timing --------------------------------
+
+def timed_loop(fn, raw, w, A, B, iters):
+    """Run ``fn`` iters times with a feedback perturbation through w."""
+
+    def body(_, wcur):
+        outs = fn(raw, wcur, A, B)
+        y = outs[0]
+        # tiny, data-dependent perturbation: keeps iterations serialized
+        return wcur + (y[:K, :N] * jnp.bfloat16(1e-8))
+
+    wf = jax.lax.fori_loop(0, iters, body, w)
+    return jnp.sum(wf.astype(jnp.float32))
+
+
+def measure(name, fn, inputs, k1=6, k2=30, reps=3):
+    f = jax.jit(timed_loop, static_argnames=("fn", "iters"))
+    outs = {}
+    for k in (k1, k2):
+        r = f(fn=fn, raw=inputs[0], w=inputs[1], A=inputs[2], B=inputs[3],
+              iters=k)
+        float(r)  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = f(fn=fn, raw=inputs[0], w=inputs[1], A=inputs[2],
+                  B=inputs[3], iters=k)
+            float(r)
+            best = min(best, time.perf_counter() - t0)
+        outs[k] = best
+    per_iter = (outs[k2] - outs[k1]) / (k2 - k1)
+    return per_iter
+
+
+def main():
+    from stil_tta_tpu.utils import jax_setup
+    jax_setup.setup()
+    inputs = make_inputs()
+    bytes_roof = (M * K * 2 + M * N * 2) / 819e9 * 1e3  # ms, read+write
+    print(f"# shape M={M} K={K} N={N}; HBM roofline ~{bytes_roof:.3f} ms "
+          f"(read a + write y at 819 GB/s)")
+    results = {}
+    for name, fn in VARIANTS.items():
+        try:
+            ms = measure(name, fn, inputs) * 1e3
+            results[name] = round(ms, 4)
+            print(f"{name:14s} {ms:8.3f} ms/iter")
+        except Exception as e:  # pragma: no cover
+            print(f"{name:14s} FAILED: {type(e).__name__}: {e}")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
