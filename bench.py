@@ -76,7 +76,9 @@ def main():
     # train step burns ~2-3 ms/step in threefry key-derivation kernels
     # (dropout masks + per-sample augmentation splits); the typed key
     # propagates the impl through every split inside the step.
-    impl = os.environ.get("STIL_PRNG_IMPL", "threefry")
+    impl = os.environ.get("STIL_PRNG_IMPL", "threefry2x32")
+    if impl == "threefry":  # jax >= 0.9 renamed the impl
+        impl = "threefry2x32"
     rng = jax.random.key(0, impl=impl)
     state = algo.init_state(rng,
                             jnp.zeros((2, img_size, img_size, 3)),

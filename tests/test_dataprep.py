@@ -10,7 +10,9 @@ from stil_tta_tpu.dataprep.dvm import build_semi_splits, build_tabular, \
     label_encode
 from stil_tta_tpu.dataprep.missing_mask import (feature_missing_mask,
                                                 random_missing_mask)
-from stil_tta_tpu.dataprep.shifted import (build_shifted_splits,
+from stil_tta_tpu.dataprep.shifted import (build_label_dist_shifted_splits,
+                                           build_shifted_splits,
+                                           ensure_common_label_space,
                                            js_divergence,
                                            make_column_value_shift,
                                            make_label_subset_shift,
@@ -55,6 +57,100 @@ def test_shifted_split_label_subset():
     assert set(np.unique(res["splits"]["test"].labels)) <= {4, 5}
     assert not set(np.unique(res["splits"]["train_labelled"].labels)) \
         & {4, 5}
+
+
+def test_common_label_space_intersection_and_relabel():
+    """ensure_common_label_space mirrors create_shifted_data.ipynb cell 26
+    (ensure_same_class_num) + categorize: intersect class sets, relabel
+    contiguously — the reason reference shifted configs carry
+    num_classes < 286 (e.g. 283/284 for labels, 285 black, 278 miles)."""
+    src = synthetic_source(300, num_classes=6,
+                           field_lengths=[3, 1, 1], image_size=8)
+    a_keep = np.isin(src.labels, [0, 2, 3, 5])
+    b_keep = np.isin(src.labels, [1, 2, 3, 5])
+
+    def sub(keep):
+        return ArraySource(images=src.images[keep], tabular=src.tabular[keep],
+                           labels=src.labels[keep],
+                           labelled=src.labelled[keep],
+                           field_lengths=src.field_lengths,
+                           num_classes=6, target=src.target)
+
+    splits, n, mapping = ensure_common_label_space(
+        {"a": sub(a_keep), "b": sub(b_keep)})
+    # common classes {2,3,5} -> relabeled 0,1,2
+    assert n == 3
+    assert mapping == {2: 0, 3: 1, 5: 2}
+    for s in splits.values():
+        assert s.num_classes == 3
+        assert set(np.unique(s.labels)) <= {0, 1, 2}
+    # same label space on both sides, matching the head size
+    assert (set(np.unique(splits["a"].labels))
+            == set(np.unique(splits["b"].labels)))
+
+
+def test_label_dist_shift_reference_semantics(tmp_path):
+    """The 'labels' shift (create_shifted_data.ipynb cells 132-144):
+    labeled train from one column group, unlabeled from another, common
+    class space, contiguous labels matching the saved num_classes."""
+    rng = np.random.RandomState(0)
+    src = synthetic_source(600, num_classes=8,
+                           field_lengths=[3, 1, 1], image_size=8)
+    # column 0 is categorical with 3 values; treat value 0 as "black"
+    # (labeled pool), values 1/2 as "grey/white" (unlabeled pool)
+    src.tabular[:, 0] = rng.randint(0, 3, len(src)).astype(
+        src.tabular.dtype)
+    res = build_label_dist_shifted_splits(
+        src, column=0, labeled_values=[0], unlabeled_values=[1, 2],
+        label_fraction=0.1, seed=0, out_dir=tmp_path / "labels")
+    splits = res["splits"]
+    assert set(splits) == {"train_labelled", "train_unlabelled", "test",
+                           "test_black"}
+    # pool membership: labeled train only from the "black" group,
+    # unlabeled only from grey/white, test from the union
+    assert (splits["train_labelled"].tabular[:, 0] == 0).all()
+    assert np.isin(splits["train_unlabelled"].tabular[:, 0], [1, 2]).all()
+    assert (splits["test_black"].tabular[:, 0] == 0).all()
+    # common, contiguous label space sized to num_classes in every split
+    n = res["num_classes"]
+    for s in splits.values():
+        assert s.num_classes == n
+        assert s.labels.min() >= 0 and s.labels.max() < n
+    # train and test label spaces match the head size (the VERDICT's
+    # required invariant)
+    assert (set(np.unique(splits["train_labelled"].labels))
+            | set(np.unique(splits["train_unlabelled"].labels))
+            == set(range(n)))
+    assert set(np.unique(splits["test"].labels)) <= set(range(n))
+    # persisted metadata records the produced class count
+    import json
+    meta = json.load(open(tmp_path / "labels" / "shift_report.json"))
+    assert meta["num_classes"] == n
+    assert meta["label_mapping"]
+    # reloadable
+    reloaded = ArraySource.load(tmp_path / "labels" / "train_labelled")
+    assert reloaded.num_classes == n
+
+
+def test_column_shift_drops_noncommon_classes():
+    """Every shifted split passes the class-set intersection (the
+    reference applies ensure_same_class_num to color/miles/year shifts
+    too — black: 285, miles: 278 classes in its configs)."""
+    src = synthetic_source(400, num_classes=5,
+                           field_lengths=[3, 1, 1], image_size=8)
+    # held-out rows (column0 == 2): ~40% of every class, plus ALL of
+    # class 4 — so class 4 exists only in the test pool
+    rng = np.random.RandomState(1)
+    col = np.where(rng.rand(len(src)) < 0.4, 2.0, 1.0)
+    col[src.labels == 4] = 2.0
+    src.tabular[:, 0] = col.astype(src.tabular.dtype)
+    spec = make_column_value_shift("c0_is_2", column=0, values=[2.0])
+    res = build_shifted_splits(src, spec, label_fraction=0.2)
+    # class 4 exists only in the test pool -> dropped everywhere,
+    # remaining labels relabeled to [0, 4)
+    assert res["num_classes"] == 4
+    for s in res["splits"].values():
+        assert s.labels.max() < 4
 
 
 def test_normal_shift_is_iid():
