@@ -366,47 +366,47 @@ class STiL:
                 missing = jnp.concatenate([bl["missing"], bu["missing"]],
                                           axis=0)
 
-            # ---- EMAN teacher update THEN teacher forward (:249-258)
             prototypes = state.prototypes
-            if use_ema:
-                ema_p, ema_bs = ema_update(
-                    state.ema_params, state.params["backbone"], momentum,
-                    eman, state.ema_batch_stats,
-                    state.batch_stats.get("backbone", {}))
-                t_params = dict(state.params)
-                t_params["backbone"] = ema_p
-                t_stats = dict(state.batch_stats)
-                t_stats["backbone"] = ema_bs
-                tout = net.apply({"params": t_params,
-                                  "batch_stats": t_stats},
-                                 images, tabs, missing,
-                                 method=STiLNet.teacher)
-                tout = jax.lax.stop_gradient(tout)
-                tg_outer = derive_targets(tout, state.da, prototypes,
-                                          k_case3, b_l, y_l, epoch)
-            else:
-                # no EMA: the reference reuses the student's train-mode
-                # outputs as the teacher (``STiLModel.py:256-257``) —
-                # targets are derived inside loss_fn from a stop-gradient
-                # view of the student forward
-                ema_p, ema_bs = state.ema_params, state.ema_batch_stats
-                tg_outer = None
 
-            # ---- student forward + losses
+            # ---- student forward, then EMAN update + teacher forward.
+            # Order matches the reference exactly (:240 student fwd,
+            # :252 momentum_update_ema, :253 ema.forward_all): the EMAN
+            # lerp consumes the student's POST-forward BN running stats.
+            # The teacher block lives inside loss_fn under stop_gradient
+            # so XLA computes it once and prunes it from the backward —
+            # same cost as hoisting it out, but reference-exact ordering.
             def loss_fn(params):
                 f = lambda m: m.astype(jnp.float32)
                 outs, mut = net.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     images, tabs, train=True, missing_mask=missing,
                     mutable=["batch_stats"], rngs={"dropout": k_drop})
-                if tg_outer is None:
+                if use_ema:
+                    ema_p, ema_bs = ema_update(
+                        state.ema_params, params["backbone"], momentum,
+                        eman, state.ema_batch_stats,
+                        mut["batch_stats"].get("backbone", {}))
+                    ema_p = jax.lax.stop_gradient(ema_p)
+                    ema_bs = jax.lax.stop_gradient(ema_bs)
+                    t_params = dict(params)
+                    t_params["backbone"] = ema_p
+                    t_stats = dict(mut["batch_stats"])
+                    t_stats["backbone"] = ema_bs
+                    tout = net.apply({"params": t_params,
+                                      "batch_stats": t_stats},
+                                     images, tabs, missing,
+                                     method=STiLNet.teacher)
+                    tout = jax.lax.stop_gradient(tout)
+                else:
+                    # no EMA: the reference reuses the student's
+                    # train-mode outputs as the teacher
+                    # (``STiLModel.py:256-257``)
+                    ema_p, ema_bs = state.ema_params, state.ema_batch_stats
                     tout = jax.lax.stop_gradient({
                         "out_m": outs["out_m"], "out_i": outs["out_i"],
                         "out_t": outs["out_t"], "feat_m": outs["feat_m"]})
-                    tg = derive_targets(tout, state.da, prototypes,
-                                        k_case3, b_l, y_l, epoch)
-                else:
-                    tg = tg_outer
+                tg = derive_targets(tout, state.da, prototypes,
+                                    k_case3, b_l, y_l, epoch)
                 case1, case2_i = tg["case1"], tg["case2_i"]
                 case2_t, case3 = tg["case2_t"], tg["case3"]
                 mask1, mask_rand = tg["mask1"], tg["mask_rand"]
@@ -454,9 +454,10 @@ class STiL:
                     "CLUBloss_tabular_est": club_t_est,
                     "PTloss": loss_pt, "loss": total,
                 }
-                return total, (mut["batch_stats"], outs["out_m"], logs, tg)
+                return total, (mut["batch_stats"], ema_p, ema_bs,
+                               outs["out_m"], logs, tg)
 
-            grads, (new_stats, yh_m, logs, tg) = jax.grad(
+            grads, (new_stats, ema_p, ema_bs, yh_m, logs, tg) = jax.grad(
                 loss_fn, has_aux=True)(state.params)
             da = tg["da"]
             updates, new_opt = tx.update(grads, state.opt_state,

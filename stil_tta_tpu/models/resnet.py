@@ -27,8 +27,58 @@ import flax.linen as nn
 
 ModuleDef = Any
 
-# torch nn.BatchNorm2d: running = (1-0.1)*running + 0.1*batch  -> flax momentum=0.9
-BN = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5,
+# torch nn.BatchNorm2d: running = (1-0.1)*running + 0.1*batch  -> momentum=0.9
+class TorchBatchNorm(nn.Module):
+    """flax-equivalent BatchNorm with torch's running-stat update.
+
+    Numerics match ``nn.BatchNorm`` (f32 fast-variance statistics,
+    normalisation computed in ``dtype``) except the running_var update,
+    which applies torch's Bessel correction: ``nn.BatchNorm2d`` stores
+    the *unbiased* batch variance (var * n/(n-1)) in running_var while
+    normalising by the biased one. flax lerps the biased variance, a
+    per-step relative drift of 1/(n-1) on the update term — invisible in
+    training but a train-step golden-parity mismatch.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9      # decay of the old value (torch 1 - 0.1)
+    epsilon: float = 1e-5
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param('scale', nn.initializers.ones, (feat,),
+                           self.param_dtype)
+        bias = self.param('bias', nn.initializers.zeros, (feat,),
+                          self.param_dtype)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x.size // feat
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * (var * bessel)
+        dtype = self.dtype or x.dtype
+        mul = (jax.lax.rsqrt(var.astype(dtype) + jnp.asarray(
+            self.epsilon, dtype)) * scale.astype(dtype))
+        return ((x.astype(dtype) - mean.astype(dtype)) * mul
+                + bias.astype(dtype))
+
+
+BN = partial(TorchBatchNorm, momentum=0.9, epsilon=1e-5,
              param_dtype=jnp.float32)
 
 
