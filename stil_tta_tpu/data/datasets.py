@@ -40,6 +40,12 @@ def load_sources(cfg) -> Dict[str, ArraySource]:
                 "val": mk(n_v, 1.0, 2), "test": mk(n_t, 1.0, 3)}
 
     base = Path(cfg.data_base or ".")
+    # per-fraction dataset configs (dataset=dvm_..._SemiPseudo_0.05 etc.)
+    # name the conventional subdirectory holding that fraction's
+    # converted artifacts, mirroring the reference's per-fraction
+    # artifact-file suffixes (``configs/dataset/*_SemiPseudo_*.yaml``)
+    if cfg.get("fraction_dir"):
+        base = base / str(cfg.fraction_dir)
     out = {}
     for split in SPLITS:
         key = f"data_{split}"

@@ -15,9 +15,13 @@ STiLModel_SAINT_backbone.py:159-184``):
   quirk, ``STiLModel_SAINT_backbone.py:176-180``).
 - 'colrow': column self-attention over tokens at ``dim``, then *row*
   (intersample) attention over the flattened per-row vector with the
-  batch as the sequence axis (``model_util.py:113-121``). Under data
-  parallelism, intersample attention runs per shard (documented
-  divergence; the reference has the same property under DDP).
+  batch as the sequence axis (``model_util.py:113-121``). Under GSPMD
+  data parallelism the batch axis is a *logical* axis: XLA inserts the
+  collectives so intersample attention mixes the GLOBAL batch, and the
+  sharded result equals the single-device result
+  (``tests/test_mesh.py::test_saint_intersample_global_under_sharding``).
+  That is stronger than the reference under DDP, where each rank's
+  intersample attention sees only its local batch.
 - Reference quirk kept: SAINT's Attention defines but never applies its
   dropout (``model_util.py:75-86``), so only the FeedForward dropout is
   active.

@@ -66,13 +66,32 @@ def compute_eval_metrics(probs: np.ndarray, labels: np.ndarray,
     return out
 
 
+def apply_batch_limit(n_batches: int, limit) -> int:
+    """PyTorch-Lightning ``limit_{train,val,test}_batches`` semantics
+    (``trainers/evaluate.py:178``): float in (0, 1] = fraction of the
+    epoch, int = absolute batch cap, None/1.0 = everything."""
+    if limit is None:
+        return n_batches
+    lim = float(limit)
+    if lim <= 0:
+        return n_batches
+    if lim <= 1.0 and not (isinstance(limit, int) and limit == 1):
+        return max(int(n_batches * lim), 1)
+    return min(n_batches, int(lim))
+
+
 def run_validation(eval_step, params, batch_stats, cache, batch_size,
-                   num_classes, prefix="eval.val") -> Dict[str, float]:
+                   num_classes, prefix="eval.val",
+                   limit_batches=None) -> Dict[str, float]:
     n = int(cache["labels"].shape[0])
     sampler = EpochSampler(n, batch_size, shuffle=False, drop_last=False)
     probs_m, probs_i, probs_t, ys = [], [], [], []
     outs = []
-    for idx, w in sampler.epoch():
+    max_b = apply_batch_limit(sampler.steps_per_epoch(), limit_batches) \
+        if hasattr(sampler, "steps_per_epoch") else None
+    for bi, (idx, w) in enumerate(sampler.epoch()):
+        if max_b is not None and bi >= max_b:
+            break
         # async dispatch; fetch after the loop so device work pipelines
         outs.append((eval_step(params, batch_stats, cache,
                                jnp.asarray(idx), jnp.asarray(w)), w))
@@ -222,8 +241,15 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
     best = -np.inf
     es_best = -np.inf  # EarlyStopping tracks its own best with min_delta;
     # ModelCheckpoint saves on ANY improvement (Lightning semantics)
-    patience = int((40 if cfg.sweep else 100)
-                   * (1.0 / float(cfg.val_check_interval or 1.0)))
+    vci = float(cfg.val_check_interval or 1.0)
+    if vci < 1.0:
+        # every shipped reference config uses 1.0; the key's only other
+        # effect there is the EarlyStopping patience scale below
+        raise ValueError(
+            "val_check_interval < 1.0 (fractional mid-epoch validation) "
+            "is not supported; validation runs per epoch "
+            "(check_val_every_n_epoch)")
+    patience = int((40 if cfg.sweep else 100) * (1.0 / vci))
     bad_epochs = 0
     plateau = optim.PlateauScheduler(
         float(cfg.lr_eval), patience=int(10 / (cfg.check_val_every_n_epoch
@@ -232,7 +258,8 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         if cfg.scheduler == "linear" else None
 
     max_epochs = int(cfg.max_epochs)
-    steps_per_epoch = u_sampler.steps_per_epoch()
+    steps_per_epoch = apply_batch_limit(u_sampler.steps_per_epoch(),
+                                        cfg.limit_train_batches)
     cfg.dataset_length = steps_per_epoch
     start_epoch_idx = int(state.step) // max(steps_per_epoch, 1)
     history = []
@@ -251,7 +278,10 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
             l_stream = HostStream(
                 src_l, CyclingEpochView(l_sampler, steps_per_epoch))
             u_stream = HostStream(src_u, u_sampler)
-            for bl, bu in zip(l_stream.epoch(), u_stream.epoch()):
+            for bi, (bl, bu) in enumerate(zip(l_stream.epoch(),
+                                              u_stream.epoch())):
+                if bi >= steps_per_epoch:  # limit_train_batches cap
+                    break
                 vl = {k: bl[k] for k in keys if k in bl}
                 vu = {k: bu[k] for k in keys if k in bu}
                 vl["marginal"], vu["marginal"] = marg_l, marg_u
@@ -259,7 +289,7 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
             pairs = []
         else:
             pairs = [(l_sampler.next()[0], idx_u)
-                     for idx_u, _ in u_sampler.epoch()]
+                     for idx_u, _ in u_sampler.epoch()][:steps_per_epoch]
         if not use_host_stream and scan_step is not None:
             from stil_tta_tpu.train.multistep import chunk_indices
             blocks, tail = chunk_indices(pairs, spd)
@@ -282,7 +312,8 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         if epoch % int(cfg.check_val_every_n_epoch or 1) == 0:
             val_metrics = run_validation(
                 eval_step, state.params, state.batch_stats, cache_val,
-                batch_size, num_classes)
+                batch_size, num_classes,
+                limit_batches=cfg.limit_val_batches)
             logger.log(val_metrics, step=epoch)
             val_metric_value = val_metrics.get(monitor)
             history.append(val_metrics)
@@ -326,7 +357,8 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         cache_test = DeviceCache(sources["test"]).as_dict()
         test_metrics = run_validation(
             eval_step, state.params, state.batch_stats, cache_test,
-            batch_size, num_classes, prefix="test")
+            batch_size, num_classes, prefix="test",
+            limit_batches=cfg.limit_test_batches)
         logger.log(test_metrics, step=max_epochs)
         logger.dump_csv("test_results.csv", test_metrics)
         results.update(test_metrics)

@@ -62,7 +62,8 @@ def test(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
     eval_step = algo.make_eval_step()
     metrics = run_validation(eval_step, state.params, state.batch_stats,
                              cache, int(cfg.batch_size), num_classes,
-                             prefix="test")
+                             prefix="test",
+                             limit_batches=cfg.limit_test_batches)
     logger.log(metrics, step=0)
     logger.dump_csv("test_results.csv", metrics)
     return metrics

@@ -218,3 +218,67 @@ def test_cardiac_tabular_filtering():
     assert fl[0] == 2 and fl[1:] == [1, 1]
     assert keep.sum() == len(tab)
     assert np.isfinite(tab).all()
+
+
+def test_ukbb_pack_sa_es_ed_reference_semantics():
+    """pack_sa_es_ed mirrors preprocess_cardiac_image.py:113-180:
+    channels [ES, mid-beat, ED] at the mid z-slice, square-padded to
+    210, per-channel max-normalised HWC float32."""
+    from stil_tta_tpu.dataprep.ukbb import mid_beat_index, pack_sa_es_ed
+    rng = np.random.RandomState(0)
+    h, w, z, t = 40, 32, 5, 20
+    sa = rng.rand(h, w, z, t) * 100
+    es_i = 13
+    es_vol = np.zeros((h, w, z))
+    es_vol[:, :, z // 2] = sa[:, :, z // 2, es_i]
+    ed_vol = rng.rand(h, w, z) * 100
+
+    mb, found_es, match = mid_beat_index(sa, es_vol[:, :, z // 2])
+    assert found_es == es_i and match and mb == es_i // 2
+
+    img = pack_sa_es_ed(es_vol, sa, ed_vol)
+    assert img.shape == (210, 210, 3) and img.dtype == np.float32
+    # per-channel max-normalised
+    assert np.allclose(img.max(axis=(0, 1)), 1.0, atol=1e-6)
+    # channel 0 centre equals the normalised ES mid slice
+    from stil_tta_tpu.dataprep.ukbb import pad_square
+    es_sq = pad_square(es_vol[:, :, z // 2])
+    y0 = (210 - es_sq.shape[0]) // 2
+    x0 = (210 - es_sq.shape[1]) // 2
+    centre = img[y0:y0 + es_sq.shape[0], x0:x0 + es_sq.shape[1], 0]
+    np.testing.assert_allclose(centre, es_sq / es_sq.max(), rtol=1e-5)
+
+
+def test_ukbb_field_mapping():
+    """select_cardiac_columns + ukbb_dtype_map mirror
+    filter_cardiac_tabular_feature.py:50-137."""
+    from stil_tta_tpu.dataprep.ukbb import (CARDIAC_FIELD_IDS,
+                                            select_cardiac_columns,
+                                            ukbb_dtype_map)
+    assert len(CARDIAC_FIELD_IDS) == 156
+    cols = ["eid", "31-0.0", "9999-0.0", "21001-0.0", "21001-1.0",
+            "46-0.0"]
+    kept, have, lack = select_cardiac_columns(cols)
+    assert "eid" in kept and "31-0.0" in kept and "21001-1.0" in kept
+    assert "9999-0.0" not in kept
+    assert "31" in have and "21001" in have
+    assert "42000" in lack  # not present in this tiny header
+
+    rows = [
+        {"FieldID": 21001, "Instances": 2, "Array": 1,
+         "ValueType": "Continuous", "Field": "Body mass index (BMI)"},
+        {"FieldID": 23104, "Instances": 1, "Array": 1,
+         "ValueType": "Continuous", "Field": "Body mass index (BMI)"},
+        {"FieldID": 53, "Instances": 1, "Array": 1,
+         "ValueType": "Date", "Field": "Date of attending"},
+        {"FieldID": 46, "Instances": 1, "Array": 1,
+         "ValueType": "Integer", "Field": "Hand grip (left)"},
+    ]
+    dtype, dates, id2name = ukbb_dtype_map(rows)
+    assert dtype["21001-0.0"] is float and "21001-1.0" in dtype
+    assert "53-0.0" in dates and dtype["53-0.0"] is str
+    # the impedance-BMI rename disambiguates the duplicate field name
+    assert id2name[23104] == "Body mass index (BMI) Impedance"
+    assert id2name[21001] == "Body mass index (BMI)"
+    # field 46 forced float despite Integer value type
+    assert dtype["46-0.0"] is float

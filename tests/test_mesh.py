@@ -99,3 +99,48 @@ def test_multislice_hybrid_mesh_matches_unsharded():
         np.testing.assert_allclose(float(single.log_sums[k]),
                                    float(hybrid.log_sums[k]),
                                    rtol=2e-2, atol=2e-3)
+
+
+def test_saint_intersample_global_under_sharding():
+    """SAINT's 'colrow' intersample (row) attention attends over the
+    batch axis. Under GSPMD batch sharding the batch is a *logical*
+    axis, so the sharded forward must equal the single-device forward —
+    i.e. intersample attention is GLOBAL over the batch, not per-shard
+    (pins the models/saint.py docstring and PARITY.md claim; the
+    reference under DDP would attend per-rank only,
+    ``model_util.py:113-121``)."""
+    from stil_tta_tpu.models.saint import SAINTEncoder
+
+    assert len(jax.devices()) >= 8
+    cats = [4, 3]
+    enc = SAINTEncoder(cat_lengths=cats, num_continuous=3, token_dim=16,
+                       out_dim=32, depth=1, heads=2,
+                       attentiontype="colrow", dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    b = 16
+    x = np.concatenate([
+        np.stack([rng.randint(0, c, b) for c in cats], 1),
+        rng.randn(b, 3)], 1).astype(np.float32)
+    variables = enc.init(jax.random.key(0), jnp.asarray(x[:2]))
+
+    single = enc.apply(variables, jnp.asarray(x))
+
+    mesh = create_mesh(8)
+    bsh = batch_sharding(mesh)
+    xs = jax.device_put(jnp.asarray(x), bsh)
+    vs = replicate(mesh, variables)
+    sharded = jax.jit(enc.apply)(vs, xs)
+
+    # global semantics: identical tokens for every row; a per-shard
+    # intersample attention would mix only 2 rows per device and differ
+    np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                               rtol=2e-5, atol=2e-5)
+
+    # sanity: intersample attention really mixes across rows (changing
+    # one OTHER row changes row 0's tokens) — otherwise "global vs
+    # per-shard" would be vacuous
+    x2 = x.copy()
+    x2[7, len(cats):] += 3.0
+    single2 = enc.apply(variables, jnp.asarray(x2))
+    assert float(np.abs(np.asarray(single2[0]) -
+                        np.asarray(single[0])).max()) > 1e-6
