@@ -27,7 +27,11 @@ from __future__ import annotations
 
 import functools
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -128,27 +132,51 @@ def pallas_chain(raw, w, A, B):
     return pallas_chain_call(raw, w, A, B)
 
 
+def pallas_chain_8k(raw, w, A, B):
+    return pallas_chain_call(raw, w, A, B, tm=8192)
+
+
 VARIANTS = {
     "gemm": gemm,
     "conv1x1": conv1x1,
     "xla_chain": xla_chain,
     "pallas_chain": pallas_chain,
+    "pallas_chain_8k": pallas_chain_8k,
 }
 
 
 # ------------------------------ timing --------------------------------
 
 def timed_loop(fn, raw, w, A, B, iters):
-    """Run ``fn`` iters times with a feedback perturbation through w."""
+    """Run ``fn`` iters times, serialized, with EVERY output live.
 
-    def body(_, wcur):
-        outs = fn(raw, wcur, A, B)
+    Harness rules learned the hard way (first version measured an
+    xla_chain *below* its own HBM roofline):
+    - feed a scalar ``sum(y)`` back into w so the full y must be
+      computed (a sliced feedback lets XLA slice through the dot);
+    - carry A/B and perturb them from the stat outputs so the affine
+      prologue is loop-variant (else XLA hoists it out of the loop)
+      and the stats are not dead code.
+    """
+
+    def body(_, carry):
+        wcur, Acur, Bcur = carry
+        outs = fn(raw, wcur, Acur, Bcur)
         y = outs[0]
-        # tiny, data-dependent perturbation: keeps iterations serialized
-        return wcur + (y[:K, :N] * jnp.bfloat16(1e-8))
+        sy = jnp.sum(y.astype(jnp.float32)) * 1e-20
+        wnew = wcur + sy.astype(jnp.bfloat16)
+        if len(outs) == 3:
+            s1, s2 = outs[1], outs[2]
+            tweak = (jnp.sum(s1) + jnp.sum(s2)) * 1e-30 + sy
+            Anew = Acur + tweak
+            Bnew = Bcur + tweak
+        else:
+            Anew, Bnew = Acur + sy, Bcur + sy
+        return wnew, Anew, Bnew
 
-    wf = jax.lax.fori_loop(0, iters, body, w)
-    return jnp.sum(wf.astype(jnp.float32))
+    wf, Af, Bf = jax.lax.fori_loop(0, iters, body, (w, A, B))
+    return (jnp.sum(wf.astype(jnp.float32)) + jnp.sum(Af)
+            + jnp.sum(Bf))
 
 
 def measure(name, fn, inputs, k1=6, k2=30, reps=3):
