@@ -60,6 +60,40 @@ SWEEP = [
       "xla_tpu_dot_dot_fusion": "true"}),
 ]
 
+# Round-2 sweep: winner pair + one candidate each, targeting the
+# backward reduce fusions / layouts / schedulers the round-2 trace
+# attribution names (backward 47 ms of the 97 ms step).
+_WIN = {"xla_tpu_enable_experimental_fusion_cost_model": "true",
+        "xla_tpu_input_conv_multi_users": "true"}
+SWEEP_R2 = [("baseline_win", dict(_WIN))] + [
+    (name, {**_WIN, flag: "true"})
+    for name, flag in [
+        ("reduce_input_fusion",
+         "xla_tpu_allow_input_fusion_in_certain_reduce_ops"),
+        ("backward_prop_reduce", "xla_tpu_backward_propagate_reduce"),
+        ("multi_dim_reduce_rwb", "xla_tpu_allow_multi_dim_reduce_rwb"),
+        ("rwb_fusion", "xla_tpu_rwb_fusion"),
+        ("nested_loop_fusion",
+         "xla_tpu_enable_multi_level_nested_loop_fusion"),
+        ("pincer_short_fusion",
+         "xla_tpu_enable_pincer_short_fusion_emitter"),
+        ("large_2nd_minor_x16",
+         "xla_tpu_enable_large_2nd_minor_layout_for_x16"),
+        ("untiled_layout", "xla_tpu_enable_untiled_layout"),
+        ("reduce_window_as_conv",
+         "xla_tpu_handle_reduce_window_as_convolution"),
+        ("conv_normalizer",
+         "xla_tpu_impure_enable_convolution_normalizer"),
+        ("vmem_to_vmem_dmas", "xla_tpu_enable_vmem_to_vmem_dmas"),
+        ("pipelined_unroll", "xla_tpu_enable_pipelined_loop_unrolling"),
+        ("ilp_scheduler", "xla_tpu_enable_ilp_latency_hiding_scheduler"),
+        ("all_sched_features",
+         "xla_tpu_enable_all_experimental_scheduler_features"),
+        ("fusion_layout_update", "xla_tpu_enable_fusion_layout_update"),
+        ("layout_hints", "xla_tpu_enable_layout_hints"),
+    ]
+]
+
 
 def run_one(name: str, flags: dict) -> dict | None:
     env = dict(os.environ)
@@ -92,8 +126,11 @@ def run_one(name: str, flags: dict) -> dict | None:
 
 def main():
     only = sys.argv[1:]
+    sweep = SWEEP
+    if only and only[0] == "--round2":
+        sweep, only = SWEEP_R2, only[1:]
     results = []
-    for name, flags in SWEEP:
+    for name, flags in sweep:
         if only and name not in only:
             continue
         rec = run_one(name, flags)
