@@ -34,6 +34,27 @@ def setup(cache_dir: str | None = None) -> None:
         pass  # cache is an optimisation only
 
 
+def training_key(seed: int):
+    """PRNG key for the training hot path.
+
+    On TPU the counter-based ``rbg`` generator (hardware
+    RngBitGenerator) replaces threefry's key-derivation kernel chains —
+    the fused train step burns ~2-3 ms/step deriving per-sample
+    augmentation and dropout keys with threefry. The typed key
+    propagates the impl through every ``split``/``fold_in`` inside the
+    step. Override with ``STIL_PRNG_IMPL`` (e.g. ``threefry2x32`` for
+    cross-backend reproducibility of random streams).
+    """
+    import jax
+
+    impl = os.environ.get("STIL_PRNG_IMPL")
+    if impl in ("threefry",):  # jax >= 0.9 renamed the impl
+        impl = "threefry2x32"
+    if impl is None:
+        impl = "rbg" if is_tpu_backend() else "threefry2x32"
+    return jax.random.key(int(seed), impl=impl)
+
+
 def is_tpu_backend() -> bool:
     import jax
     try:

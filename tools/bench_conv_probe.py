@@ -136,12 +136,76 @@ def pallas_chain_8k(raw, w, A, B):
     return pallas_chain_call(raw, w, A, B, tm=8192)
 
 
+def _chain_scratch_kernel(raw_ref, w_ref, ab_ref, y_ref, s1_ref, s2_ref,
+                          acc1, acc2):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    A = ab_ref[0, :].astype(jnp.bfloat16)
+    B = ab_ref[1, :].astype(jnp.bfloat16)
+    h = jnp.maximum(raw_ref[:] * A[None, :] + B[None, :], jnp.bfloat16(0))
+    y = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+    yb = y.astype(jnp.bfloat16)
+    y_ref[:] = yb
+
+    @pl.when(i == 0)
+    def _():
+        acc1[:] = jnp.zeros_like(acc1)
+        acc2[:] = jnp.zeros_like(acc2)
+
+    acc1[:] += jnp.sum(y, axis=0, keepdims=True)
+    acc2[:] += jnp.sum(y * y, axis=0, keepdims=True)
+
+    @pl.when(i == n - 1)
+    def _():
+        s1_ref[:] = acc1[:]
+        s2_ref[:] = acc2[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tm",))
+def pallas_chain_scratch_call(raw, w, A, B, tm=4096):
+    ab = jnp.stack([A, B])
+    grid = (M // tm,)
+    y, s1, s2 = pl.pallas_call(
+        _chain_scratch_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, N), jnp.float32),
+                        pltpu.VMEM((1, N), jnp.float32)],
+    )(raw, w, ab)
+    return y, s1[0], s2[0]
+
+
+def pallas_chain_scratch(raw, w, A, B):
+    return pallas_chain_scratch_call(raw, w, A, B)
+
+
 VARIANTS = {
     "gemm": gemm,
     "conv1x1": conv1x1,
     "xla_chain": xla_chain,
     "pallas_chain": pallas_chain,
     "pallas_chain_8k": pallas_chain_8k,
+    "pallas_chain_scratch": pallas_chain_scratch,
 }
 
 
