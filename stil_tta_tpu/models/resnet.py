@@ -24,8 +24,17 @@ from typing import Any, Callable, Sequence
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 ModuleDef = Any
+
+
+def _conv_out(x):
+    """Remat annotation: raw conv outputs are the minimal save set for
+    the backward pass (BN backward reads them anyway); post-BN/ReLU
+    activations are recomputed from them on the fly under
+    ``remat='branch'``. No-op outside a remat context."""
+    return checkpoint_name(x, "conv_out")
 
 # torch nn.BatchNorm2d: running = (1-0.1)*running + 0.1*batch  -> momentum=0.9
 class TorchBatchNorm(nn.Module):
@@ -65,6 +74,10 @@ class TorchBatchNorm(nn.Module):
             mean = jnp.mean(xf, axis=axes)
             var = jnp.maximum(
                 jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean), 0.0)
+            # tiny per-channel stats: saved under remat='branch' so the
+            # backward recompute of normalize/relu is reduction-free
+            mean = checkpoint_name(mean, "bn_stats")
+            var = checkpoint_name(var, "bn_stats")
             if not self.is_initializing():
                 n = x.size // feat
                 bessel = n / max(n - 1, 1)
@@ -126,16 +139,17 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        out = Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                   dtype=self.dtype, name="conv1")(x)
+        out = _conv_out(Conv(self.planes, (3, 3), strides=self.stride,
+                             padding=1, dtype=self.dtype, name="conv1")(x))
         out = make_bn(self.bn_impl, not train, self.dtype, "bn1")(out)
         out = nn.relu(out)
-        out = Conv(self.planes, (3, 3), padding=1, dtype=self.dtype,
-                   name="conv2")(out)
+        out = _conv_out(Conv(self.planes, (3, 3), padding=1,
+                             dtype=self.dtype, name="conv2")(out))
         out = make_bn(self.bn_impl, not train, self.dtype, "bn2")(out)
         if self.downsample:
-            identity = Conv(self.planes, (1, 1), strides=self.stride,
-                            dtype=self.dtype, name="downsample_conv")(x)
+            identity = _conv_out(Conv(self.planes, (1, 1),
+                                      strides=self.stride, dtype=self.dtype,
+                                      name="downsample_conv")(x))
             identity = make_bn(self.bn_impl, not train, self.dtype,
                           "downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -157,21 +171,22 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
-        out = Conv(width, (1, 1), dtype=self.dtype, name="conv1")(x)
+        out = _conv_out(Conv(width, (1, 1), dtype=self.dtype,
+                             name="conv1")(x))
         out = make_bn(self.bn_impl, not train, self.dtype, "bn1")(out)
         out = nn.relu(out)
-        out = Conv(width, (3, 3), strides=self.stride, padding=1,
-                   feature_group_count=self.groups, dtype=self.dtype,
-                   name="conv2")(out)
+        out = _conv_out(Conv(width, (3, 3), strides=self.stride, padding=1,
+                             feature_group_count=self.groups,
+                             dtype=self.dtype, name="conv2")(out))
         out = make_bn(self.bn_impl, not train, self.dtype, "bn2")(out)
         out = nn.relu(out)
-        out = Conv(self.planes * self.expansion, (1, 1), dtype=self.dtype,
-                   name="conv3")(out)
+        out = _conv_out(Conv(self.planes * self.expansion, (1, 1),
+                             dtype=self.dtype, name="conv3")(out))
         out = make_bn(self.bn_impl, not train, self.dtype, "bn3")(out)
         if self.downsample:
-            identity = Conv(self.planes * self.expansion, (1, 1),
-                            strides=self.stride, dtype=self.dtype,
-                            name="downsample_conv")(x)
+            identity = _conv_out(Conv(self.planes * self.expansion, (1, 1),
+                                      strides=self.stride, dtype=self.dtype,
+                                      name="downsample_conv")(x))
             identity = make_bn(self.bn_impl, not train, self.dtype,
                           "downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -234,9 +249,16 @@ class ResNet(nn.Module):
     first_conv: bool = True
     maxpool1: bool = True
     space_to_depth: bool = True  # MXU-efficient stem (exact math)
-    # rematerialise each residual block in the backward pass (trades
-    # recompute FLOPs for activation HBM traffic)
-    remat: bool = False
+    # rematerialisation mode for residual blocks:
+    #   False    — save everything autodiff wants (XLA default)
+    #   'full'   — recompute the whole block in backward (r1: slower on
+    #              v5e, the 3x3 conv recompute costs more than it saves)
+    #   'branch' — save only raw conv outputs + BN stats; recompute the
+    #              normalize/relu elementwise chains in backward. The
+    #              backward needs the raw conv outputs for BN grads
+    #              anyway, so this halves saved-activation HBM traffic
+    #              at zero extra MXU work (numerics identical).
+    remat: Any = False
     bn_impl: str = "auto"  # 'pallas' fused stats on TPU, 'flax' else
     dtype: Any = jnp.bfloat16
 
@@ -263,8 +285,15 @@ class ResNet(nn.Module):
         feats = [x0]
         x = x0
         in_planes = 64
-        block_cls = nn.remat(self.block, static_argnums=(2,)) \
-            if self.remat else self.block
+        if self.remat == "branch":
+            block_cls = nn.remat(
+                self.block, static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out", "bn_stats"))
+        elif self.remat:
+            block_cls = nn.remat(self.block, static_argnums=(2,))
+        else:
+            block_cls = self.block
         for stage, (planes, blocks) in enumerate(
                 zip((64, 128, 256, 512), self.layers)):
             stride = 1 if stage == 0 else 2
@@ -354,12 +383,16 @@ EMBEDDING_DIM = {  # pooled_dim per encoder (``STiLModel.py:37``)
 
 
 def image_encoder(name: str, return_all_feature_maps: bool = False,
-                  dtype: Any = jnp.bfloat16):
+                  dtype: Any = jnp.bfloat16, remat: Any = None):
     """``torchvision_ssl_encoder`` equivalent
     (``models/self_supervised.py:8-15``): encoder with no fc head.
     Unlike the reference, vit_small/vit_base resolve to a real encoder
     (the reference ships those configs but no implementation —
-    SURVEY.md §2.8)."""
+    SURVEY.md §2.8).
+
+    ``remat`` (ResNets only): None resolves from ``STIL_RESNET_REMAT``
+    ('branch' | 'full' | '0', default off) — see :class:`ResNet`.
+    """
     if name.startswith("vit"):
         from stil_tta_tpu.models import vit
         ctor = {"vit_small": vit.vit_small, "vit_base": vit.vit_base}
@@ -371,5 +404,9 @@ def image_encoder(name: str, return_all_feature_maps: bool = False,
         raise ValueError(
             f"Unknown image encoder '{name}'. Available: "
             f"{sorted(_ENCODERS)}")
+    if remat is None:
+        import os
+        env = os.environ.get("STIL_RESNET_REMAT", "0")
+        remat = env if env in ("branch", "full") else False
     return _ENCODERS[name](return_all_feature_maps=return_all_feature_maps,
-                           dtype=dtype)
+                           dtype=dtype, remat=remat)

@@ -21,6 +21,40 @@ import orbax.checkpoint as ocp
 _ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
 
 
+def _is_typed_key(x: Any) -> bool:
+    import jax.numpy as jnp
+    try:
+        return hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                      jax.dtypes.prng_key)
+    except TypeError:
+        return False
+
+
+def _keys_to_data(tree: Any) -> Any:
+    """Serialize typed PRNG keys as raw uint32 key data so checkpoints
+    are PRNG-impl-agnostic (the TPU hot path uses the hardware ``rbg``
+    generator — ``jax_setup.training_key`` — while CPU tests default to
+    threefry; their key-data shapes differ)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.random.key_data(x) if _is_typed_key(x) else x, tree)
+
+
+def _data_to_keys(restored: Any, target: Any) -> Any:
+    """Re-wrap restored key data with each target leaf's impl; on a
+    shape mismatch (checkpoint written under a different PRNG impl)
+    keep the target's own fresh key — every other leaf restores
+    normally, only the random stream restarts."""
+    def wrap(r, t):
+        if _is_typed_key(t):
+            try:
+                return jax.random.wrap_key_data(
+                    r, impl=jax.random.key_impl(t))
+            except Exception:
+                return t
+        return r
+    return jax.tree_util.tree_map(wrap, restored, target)
+
+
 def _async_checkpointer() -> ocp.AsyncCheckpointer:
     """Singleton async checkpointer (kept alive so in-flight saves can
     finish; the handler thread overlaps serialization/IO with training —
@@ -45,7 +79,7 @@ def save_checkpoint(directory: os.PathLike, state: Any,
     call :func:`wait_for_checkpoints` before reading the checkpoint back
     or exiting."""
     d = Path(directory).absolute() / name
-    host_state = jax.device_get(state)
+    host_state = jax.device_get(_keys_to_data(state))
     if block:
         ckptr = ocp.StandardCheckpointer()
         if d.exists():
@@ -67,7 +101,24 @@ def restore_checkpoint(directory: os.PathLike, target: Any,
                        name: str = "best") -> Any:
     d = Path(directory).absolute() / name
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(d, target=jax.device_get(target))
+    target_h = jax.device_get(target)
+    data_target = _keys_to_data(target_h)
+    try:
+        restored = ckptr.restore(d, target=data_target)
+    except BaseException:
+        # Key-data shape mismatch: the checkpoint was written under a
+        # different PRNG impl (e.g. TPU rbg -> CPU threefry restore).
+        # Adapt the key-data leaves to the SAVED shapes via checkpoint
+        # metadata so every other leaf restores; the stream restarts.
+        meta = ckptr.metadata(d).item_metadata.tree
+        import numpy as np
+        adapted = jax.tree_util.tree_map(
+            lambda dt, m, t: (np.zeros(m.shape, dt.dtype)
+                              if _is_typed_key(t)
+                              and tuple(m.shape) != tuple(dt.shape) else dt),
+            data_target, meta, target_h)
+        restored = ckptr.restore(d, target=adapted)
+    return _data_to_keys(restored, target_h)
 
 
 def load_checkpoint_config(directory: os.PathLike,

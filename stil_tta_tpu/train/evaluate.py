@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stil_tta_tpu.algorithms.registry import get_algorithm
+from stil_tta_tpu.utils import jax_setup
 from stil_tta_tpu.data.datasets import (apply_sweep_truncation,
                                          attach_missing_masks,
                                          load_sources)
@@ -175,7 +176,9 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         cache_u = DeviceCache(src_u).as_dict()
     cache_val = DeviceCache(sources["val"]).as_dict()
 
-    rng = jax.random.key(int(cfg.seed or 0))
+    # hardware rbg keys on TPU (threefry key-derivation chains cost
+    # ~1.2 ms/step in the fused train step; jax_setup.training_key)
+    rng = jax_setup.training_key(int(cfg.seed or 0))
     sample_img = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
     sample_tab = jnp.asarray(src_l.tabular[:2])
     state = algo.init_state(rng, sample_img, sample_tab)

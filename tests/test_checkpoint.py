@@ -25,6 +25,33 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored["step"]) == 7
 
 
+def test_checkpoint_typed_key_roundtrip(tmp_path):
+    """Typed PRNG keys serialize as raw key data (impl-agnostic): a
+    same-impl restore resumes the exact stream; a cross-impl restore
+    (TPU rbg checkpoint -> CPU threefry target) restores every other
+    leaf and keeps the target's fresh key instead of failing."""
+    state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
+             "rng": jax.random.key(3, impl="threefry2x32")}
+    save_checkpoint(tmp_path, state, name="key")
+    target = {"params": {"w": jnp.zeros((2, 3))},
+              "rng": jax.random.key(9, impl="threefry2x32")}
+    restored = restore_checkpoint(tmp_path, target, name="key")
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored["rng"])),
+        np.asarray(jax.random.key_data(state["rng"])))
+
+    # cross-impl: rbg key data has a different shape than threefry's
+    state_rbg = {"params": {"w": jnp.full((2, 3), 5.0)},
+                 "rng": jax.random.key(3, impl="rbg")}
+    save_checkpoint(tmp_path, state_rbg, name="key_rbg")
+    restored = restore_checkpoint(tmp_path, target, name="key_rbg")
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.full((2, 3), 5.0))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored["rng"])),
+        np.asarray(jax.random.key_data(target["rng"])))
+
+
 def test_epoch_sampler_padding_and_drop():
     s = EpochSampler(10, 4, shuffle=False, drop_last=False)
     batches = list(s.epoch())
