@@ -84,11 +84,12 @@ def main():
                             jnp.asarray(src_l.tabular[:2]))
     train_step = algo.make_train_step()
 
-    # production dispatch path: 16 fused steps per device call
+    # production dispatch path: 32 fused steps per device call
     # (steps_per_dispatch default; amortises host/tunnel latency —
-    # k=8: 5138/s, k=16: 5185/s, k=32: 5212/s but long real-epoch tails)
+    # round 2: k=16: 5310/s, k=32: 5328/s, k=64: 5333/s; 32 keeps
+    # epoch tails short at the DVM epoch length of ~137 steps)
     from stil_tta_tpu.train.multistep import make_scan_train_step
-    k = int(os.environ.get("STIL_BENCH_K", "16"))
+    k = int(os.environ.get("STIL_BENCH_K", "32"))
     scan_step = make_scan_train_step(train_step, k)
 
     rs = np.random.RandomState(0)

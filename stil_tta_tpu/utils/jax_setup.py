@@ -10,14 +10,17 @@ from __future__ import annotations
 
 import os
 
-# Winner of the v5e compiler-flag sweep (tools/bench_xla_flags.py,
-# docs/BENCHMARKS.md): +5.3% train-step throughput at the reference DVM
-# shape. The two flags only help *together* (each is neutral alone —
-# the experimental fusion cost model makes profitable the extra fusions
-# that input_conv_multi_users admits into conv producers).
+# Winners of the v5e compiler-flag sweeps (tools/bench_xla_flags.py,
+# docs/BENCHMARKS.md): +5.3% from the round-1 pair (the experimental
+# fusion cost model makes profitable the extra fusions that
+# input_conv_multi_users admits into conv producers; each is neutral
+# alone) and +1.5% from layout negotiation (round 2 — relaxes the
+# batch-minor/channel-minor layout mismatch between the 64- and
+# 256-channel bottleneck activations inside the residual-join fusions).
 TUNED_TPU_COMPILER_OPTIONS = {
     "xla_tpu_enable_experimental_fusion_cost_model": "true",
     "xla_tpu_input_conv_multi_users": "true",
+    "xla_tpu_allow_layout_negotiation": "true",
 }
 
 
