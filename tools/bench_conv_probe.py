@@ -209,6 +209,150 @@ VARIANTS = {
 }
 
 
+# -------------------- backward residual-join probe --------------------
+# The round-2 trace's costliest backward kernels join, per bottleneck:
+#   dx = dy_up @ w1^T          (1x1 dgrad, 64 -> 256)
+#   dy = dx + dy_res            (residual add)
+#   dy = where(x_raw_norm > 0, dy, 0)   (relu mask)
+#   sum(dy), sum(dy * (x_raw - mu)), dgamma-style reduces
+# at ~360 GB/s effective. This probe measures the same pattern in
+# isolation (one BN's three reductions) as XLA vs one pallas kernel —
+# the go/no-go signal for a round-3 custom-vjp join kernel.
+
+NJ = 256  # join channels (layer1 block output)
+
+
+def make_join_inputs(seed: int = 1):
+    rs = np.random.RandomState(seed)
+    dy_up = jnp.asarray(rs.randn(M, N), jnp.bfloat16)        # (M, 64)
+    w1 = jnp.asarray(rs.randn(NJ, N) * 0.05, jnp.bfloat16)   # (256, 64)
+    dy_res = jnp.asarray(rs.randn(M, NJ), jnp.bfloat16)
+    x_raw = jnp.asarray(rs.randn(M, NJ), jnp.bfloat16)
+    mu = jnp.asarray(rs.randn(NJ) * 0.1, jnp.float32)
+    return dy_up, w1, dy_res, x_raw, mu
+
+
+def xla_bwd_join(dy_up, w1, dy_res, x_raw, mu):
+    dx = jnp.dot(dy_up, w1.T, preferred_element_type=jnp.float32)
+    dy = dx.astype(jnp.bfloat16) + dy_res
+    mask = (x_raw.astype(jnp.float32) - mu) > 0
+    dy = jnp.where(mask, dy, jnp.bfloat16(0))
+    dyf = dy.astype(jnp.float32)
+    s1 = jnp.sum(dyf, axis=0)
+    s2 = jnp.sum(dyf * (x_raw.astype(jnp.float32) - mu), axis=0)
+    s3 = jnp.sum(dyf * dyf, axis=0)
+    return dy, s1, s2, s3
+
+
+def _join_kernel(dyu_ref, w1_ref, dyr_ref, x_ref, mu_ref,
+                 dy_ref, s1_ref, s2_ref, s3_ref, acc1, acc2, acc3):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    dx = jnp.dot(dyu_ref[:], w1_ref[:].T,
+                 preferred_element_type=jnp.float32)
+    dy = dx.astype(jnp.bfloat16) + dyr_ref[:]
+    xc = x_ref[:].astype(jnp.float32) - mu_ref[0, :]
+    dy = jnp.where(xc > 0, dy, jnp.bfloat16(0))
+    dy_ref[:] = dy
+    dyf = dy.astype(jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        acc1[:] = jnp.zeros_like(acc1)
+        acc2[:] = jnp.zeros_like(acc2)
+        acc3[:] = jnp.zeros_like(acc3)
+
+    acc1[:] += jnp.sum(dyf, axis=0, keepdims=True)
+    acc2[:] += jnp.sum(dyf * xc, axis=0, keepdims=True)
+    acc3[:] += jnp.sum(dyf * dyf, axis=0, keepdims=True)
+
+    @pl.when(i == n - 1)
+    def _():
+        s1_ref[:] = acc1[:]
+        s2_ref[:] = acc2[:]
+        s3_ref[:] = acc3[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tm",))
+def pallas_bwd_join_call(dy_up, w1, dy_res, x_raw, mu, tm=2048):
+    grid = (M // tm,)
+    outs = pl.pallas_call(
+        _join_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NJ, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, NJ), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, NJ), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NJ), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, NJ), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NJ), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NJ), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NJ), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, NJ), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, NJ), jnp.float32),
+            jax.ShapeDtypeStruct((1, NJ), jnp.float32),
+            jax.ShapeDtypeStruct((1, NJ), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, NJ), jnp.float32),
+                        pltpu.VMEM((1, NJ), jnp.float32),
+                        pltpu.VMEM((1, NJ), jnp.float32)],
+    )(dy_up, w1, dy_res, x_raw, mu[None, :])
+    dy, s1, s2, s3 = outs
+    return dy, s1[0], s2[0], s3[0]
+
+
+def pallas_bwd_join(dy_up, w1, dy_res, x_raw, mu):
+    return pallas_bwd_join_call(dy_up, w1, dy_res, x_raw, mu)
+
+
+def timed_join_loop(fn, dy_up, w1, dy_res, x_raw, mu, iters):
+    """Same dead-code-proofing as timed_loop: full-dy scalar feedback
+    into w1, stats feedback into mu (keeps the mask/reduces live and
+    loop-variant)."""
+
+    def body(_, carry):
+        w1c, muc = carry
+        dy, s1, s2, s3 = fn(dy_up, w1c, dy_res, x_raw, muc)
+        sy = jnp.sum(dy.astype(jnp.float32)) * 1e-20
+        tweak = (jnp.sum(s1) + jnp.sum(s2) + jnp.sum(s3)) * 1e-30 + sy
+        return w1c + sy.astype(jnp.bfloat16), muc + tweak
+
+    w1f, muf = jax.lax.fori_loop(0, iters, body, (w1, mu))
+    return jnp.sum(w1f.astype(jnp.float32)) + jnp.sum(muf)
+
+
+def measure_join(fn, inputs, k1=6, k2=30, reps=3):
+    f = jax.jit(timed_join_loop, static_argnames=("fn", "iters"))
+    outs = {}
+    for k in (k1, k2):
+        r = f(fn=fn, dy_up=inputs[0], w1=inputs[1], dy_res=inputs[2],
+              x_raw=inputs[3], mu=inputs[4], iters=k)
+        float(r)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = f(fn=fn, dy_up=inputs[0], w1=inputs[1], dy_res=inputs[2],
+                  x_raw=inputs[3], mu=inputs[4], iters=k)
+            float(r)
+            best = min(best, time.perf_counter() - t0)
+        outs[k] = best
+    return (outs[k2] - outs[k1]) / (k2 - k1)
+
+
 # ------------------------------ timing --------------------------------
 
 def timed_loop(fn, raw, w, A, B, iters):
@@ -277,6 +421,27 @@ def main():
             print(f"{name:14s} {ms:8.3f} ms/iter")
         except Exception as e:  # pragma: no cover
             print(f"{name:14s} FAILED: {type(e).__name__}: {e}")
+
+    jb = (M * N * 2 + 3 * M * NJ * 2) / 819e9 * 1e3
+    print(f"# bwd-join shape M={M} dy_up={N} join={NJ}; roofline "
+          f"~{jb:.3f} ms (read dy_up/dy_res/x + write dy)")
+    ji = make_join_inputs()
+    # correctness gate: a wrong kernel must not win the timing
+    ra, rb = xla_bwd_join(*ji), pallas_bwd_join(*ji)
+    import numpy as _np
+    for a, b in zip(ra, rb):
+        _np.testing.assert_allclose(_np.asarray(a, _np.float32),
+                                    _np.asarray(b, _np.float32),
+                                    rtol=2e-2, atol=2.0)
+    print("# bwd-join pallas == xla (checked)")
+    for name, fn in (("xla_bwd_join", xla_bwd_join),
+                     ("pallas_bwd_join", pallas_bwd_join)):
+        try:
+            ms = measure_join(fn, ji) * 1e3
+            results[name] = round(ms, 4)
+            print(f"{name:16s} {ms:8.3f} ms/iter")
+        except Exception as e:  # pragma: no cover
+            print(f"{name:16s} FAILED: {type(e).__name__}: {e}")
     print(json.dumps(results))
 
 
