@@ -50,6 +50,59 @@ def test_resnet50_pooled_dim():
     assert pooled.shape == (1, 2048)
 
 
+@pytest.mark.parametrize("mode", ["branch", "full"])
+def test_resnet_remat_modes_bit_exact(mode):
+    """remat='branch' (save conv outputs + BN stats, recompute
+    normalize/relu in backward) and remat='full' are pure recompute
+    schedules: loss, gradients, and BN running-stat updates must be
+    bit-identical to the no-remat baseline."""
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                    jnp.float32)
+
+    def run(remat):
+        m = image_encoder("resnet18", remat=remat)
+        vs = m.init(jax.random.key(0), x, train=False)
+
+        def loss(p):
+            out, mut = m.apply(
+                {"params": p, "batch_stats": vs["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(out[0].astype(jnp.float32) ** 2), mut
+
+        (l, mut), g = jax.value_and_grad(loss, has_aux=True)(vs["params"])
+        return l, g, mut
+
+    l0, g0, m0 = run(False)
+    l1, g1, m1 = run(mode)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(m0),
+                    jax.tree_util.tree_leaves(m1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_training_key_impl_selection(monkeypatch):
+    """training_key: threefry off-TPU by default, env-overridable; the
+    rbg impl drives a full split/fold chain (the augmentation pattern)."""
+    from stil_tta_tpu.utils import jax_setup
+
+    def impl(k):
+        return str(jax.random.key_impl(k))
+
+    assert "threefry" in impl(jax_setup.training_key(0))
+    monkeypatch.setenv("STIL_PRNG_IMPL", "rbg")
+    k = jax_setup.training_key(0)
+    assert "rbg" in impl(k)
+    a, b = jax.random.split(k)
+    per_sample = jax.random.fold_in(a, 7)
+    u = jax.random.uniform(per_sample, (4,))
+    assert u.shape == (4,) and bool(jnp.all((u >= 0) & (u < 1)))
+    monkeypatch.setenv("STIL_PRNG_IMPL", "threefry")  # legacy alias
+    assert "threefry" in impl(jax_setup.training_key(0))
+
+
 def test_tabular_transformer_shapes_and_mask():
     cat, con = split_field_lengths(FIELD_LENGTHS)
     enc = TabularTransformerEncoder(cat_lengths=cat, con_lengths=con,
