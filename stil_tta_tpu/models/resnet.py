@@ -259,6 +259,10 @@ class ResNet(nn.Module):
     #              anyway, so this halves saved-activation HBM traffic
     #              at zero extra MXU work (numerics identical).
     remat: Any = False
+    # restrict remat to these stage indices (0..3); None = all stages.
+    # Motivation: stage 0 owns the narrow width-64 tensors whose
+    # batch-minor layouts make its join fusions the slowest kernels.
+    remat_stages: Any = None
     bn_impl: str = "auto"  # 'pallas' fused stats on TPU, 'flax' else
     dtype: Any = jnp.bfloat16
 
@@ -297,13 +301,16 @@ class ResNet(nn.Module):
         for stage, (planes, blocks) in enumerate(
                 zip((64, 128, 256, 512), self.layers)):
             stride = 1 if stage == 0 else 2
+            cls = block_cls if (self.remat_stages is None
+                                or stage in self.remat_stages) \
+                else self.block
             for b in range(blocks):
                 s = stride if b == 0 else 1
                 needs_ds = b == 0 and (
                     s != 1 or in_planes != planes * self.block.expansion)
-                x = block_cls(planes=planes, stride=s, downsample=needs_ds,
-                              dtype=self.dtype, bn_impl=self.bn_impl,
-                              name=f"layer{stage + 1}_{b}")(x, train)
+                x = cls(planes=planes, stride=s, downsample=needs_ds,
+                        dtype=self.dtype, bn_impl=self.bn_impl,
+                        name=f"layer{stage + 1}_{b}")(x, train)
             in_planes = planes * self.block.expansion
             feats.append(x)
 
@@ -404,9 +411,14 @@ def image_encoder(name: str, return_all_feature_maps: bool = False,
         raise ValueError(
             f"Unknown image encoder '{name}'. Available: "
             f"{sorted(_ENCODERS)}")
+    stages = None
     if remat is None:
         import os
         env = os.environ.get("STIL_RESNET_REMAT", "0")
+        # e.g. 'branch', 'full', 'branch:0', 'branch:0,1'
+        if ":" in env:
+            env, _, st = env.partition(":")
+            stages = tuple(int(s) for s in st.split(",") if s)
         remat = env if env in ("branch", "full") else False
     return _ENCODERS[name](return_all_feature_maps=return_all_feature_maps,
-                           dtype=dtype, remat=remat)
+                           dtype=dtype, remat=remat, remat_stages=stages)
