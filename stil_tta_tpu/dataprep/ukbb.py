@@ -98,9 +98,16 @@ def mid_beat_index(sa_4d: np.ndarray, es_slice: np.ndarray,
 
 def pad_square(sl: np.ndarray) -> np.ndarray:
     """Zero-pad a 2-D slice to square about the centre
-    (``preprocess_cardiac_image.py:151-155``; odd differences round
-    down on both sides exactly as np.pad with //2 does there)."""
+    (``preprocess_cardiac_image.py:151-155``). The reference pads
+    ``(w-h)//2`` on both sides and asserts squareness, so subjects with
+    an odd height-width difference are rejected rather than silently
+    emitting a non-square (and later non-210) array; callers skip them
+    (``ukbb.py`` CLI driver)."""
     h, w = sl.shape
+    if abs(h - w) % 2:
+        raise ValueError(
+            f"odd height-width difference ({h}x{w}): the reference "
+            "skips such subjects (preprocess_cardiac_image.py assert)")
     if w > h:
         p = (w - h) // 2
         return np.pad(sl, ((p, p), (0, 0)))
@@ -276,14 +283,20 @@ def main():  # pragma: no cover - needs raw UKBB data
     paths = [p.strip() for p in open(args.nifti_list)]
     paths = [p for p, k in zip(paths, keep) if k]
     if args.mode == "sa_es_ed":
-        imgs = []
-        for line in paths:
+        imgs, ok = [], []
+        for i, line in enumerate(paths):
             es_p, sa_p, ed_p = [s.strip() for s in line.split(",")]
-            hwc = pack_sa_es_ed(load_nifti(es_p), load_nifti(sa_p),
-                                load_nifti(ed_p))
+            try:
+                hwc = pack_sa_es_ed(load_nifti(es_p), load_nifti(sa_p),
+                                    load_nifti(ed_p))
+            except ValueError as e:  # odd-difference slice — skip subject
+                print(f"skip subject {i} ({es_p}): {e}")
+                continue
+            ok.append(i)
             imgs.append(center_crop(hwc, args.size) if args.size != 210
                         else hwc)
         imgs = np.stack(imgs)
+        tab, labels = tab[ok], labels[ok]
     else:
         imgs = np.stack([
             pack_cardiac_image(load_nifti(p), args.size, args.timepoints)

@@ -105,18 +105,29 @@ def restore_checkpoint(directory: os.PathLike, target: Any,
     data_target = _keys_to_data(target_h)
     try:
         restored = ckptr.restore(d, target=data_target)
-    except BaseException:
+    except Exception:
         # Key-data shape mismatch: the checkpoint was written under a
         # different PRNG impl (e.g. TPU rbg -> CPU threefry restore).
         # Adapt the key-data leaves to the SAVED shapes via checkpoint
         # metadata so every other leaf restores; the stream restarts.
+        # Any other failure (corrupted checkpoint, I/O error) re-raises
+        # the ORIGINAL error: if no typed-key leaf actually differs in
+        # shape from the saved metadata, retrying would only mask it.
         meta = ckptr.metadata(d).item_metadata.tree
         import numpy as np
-        adapted = jax.tree_util.tree_map(
-            lambda dt, m, t: (np.zeros(m.shape, dt.dtype)
-                              if _is_typed_key(t)
-                              and tuple(m.shape) != tuple(dt.shape) else dt),
-            data_target, meta, target_h)
+        changed = []
+
+        def _adapt(dt, m, t):
+            if (_is_typed_key(t)
+                    and tuple(m.shape) != tuple(dt.shape)):
+                changed.append(True)
+                return np.zeros(m.shape, dt.dtype)
+            return dt
+
+        adapted = jax.tree_util.tree_map(_adapt, data_target, meta,
+                                         target_h)
+        if not changed:
+            raise
         restored = ckptr.restore(d, target=adapted)
     return _data_to_keys(restored, target_h)
 

@@ -74,8 +74,10 @@ def apply_batch_limit(n_batches: int, limit) -> int:
     if limit is None:
         return n_batches
     lim = float(limit)
-    if lim <= 0:
-        return n_batches
+    if lim < 0:
+        raise ValueError(f"limit_*_batches must be >= 0, got {limit!r}")
+    if lim == 0:
+        return 0  # PL: 0 disables the loop entirely
     if lim <= 1.0 and not (isinstance(limit, int) and limit == 1):
         return max(int(n_batches * lim), 1)
     return min(n_batches, int(lim))
@@ -90,6 +92,8 @@ def run_validation(eval_step, params, batch_stats, cache, batch_size,
     outs = []
     max_b = apply_batch_limit(sampler.steps_per_epoch(), limit_batches) \
         if hasattr(sampler, "steps_per_epoch") else None
+    if max_b == 0:  # loop disabled (limit_*_batches: 0)
+        return {}
     for bi, (idx, w) in enumerate(sampler.epoch()):
         if max_b is not None and bi >= max_b:
             break
