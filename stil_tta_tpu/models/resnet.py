@@ -47,6 +47,13 @@ class TorchBatchNorm(nn.Module):
     normalising by the biased one. flax lerps the biased variance, a
     per-step relative drift of 1/(n-1) on the update term — invisible in
     training but a train-step golden-parity mismatch.
+
+    ``real_feat``: when the input carries zero-padded lane-alignment
+    channels (``min_channels`` on :class:`ResNet`), params and running
+    stats keep the torch-compatible width ``real_feat`` and are padded
+    in-graph (scale→1, bias→0, mean→0, var→1); padded channels
+    normalise to exactly 0 in both train (batch mean=var=0) and eval
+    modes, so the padding stays invisible to the math.
     """
 
     use_running_average: bool
@@ -54,10 +61,13 @@ class TorchBatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Any = None
     param_dtype: Any = jnp.float32
+    real_feat: int = 0         # 0 = input width (no padding)
 
     @nn.compact
     def __call__(self, x):
-        feat = x.shape[-1]
+        feat = self.real_feat or x.shape[-1]
+        pad = x.shape[-1] - feat
+        assert pad >= 0, (x.shape, feat)
         axes = tuple(range(x.ndim - 1))
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros((feat,), jnp.float32))
@@ -69,8 +79,13 @@ class TorchBatchNorm(nn.Module):
                           self.param_dtype)
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
+            if pad:
+                mean = jnp.pad(mean, (0, pad))
+                var = jnp.pad(var, (0, pad), constant_values=1.0)
         else:
-            xf = x.astype(jnp.float32)
+            # stats in at-least-f32 (f64 inputs keep f64 stats — the
+            # f64 equivalence tests rely on it; bf16/f32 unchanged)
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             mean = jnp.mean(xf, axis=axes)
             var = jnp.maximum(
                 jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean), 0.0)
@@ -79,12 +94,16 @@ class TorchBatchNorm(nn.Module):
             mean = checkpoint_name(mean, "bn_stats")
             var = checkpoint_name(var, "bn_stats")
             if not self.is_initializing():
-                n = x.size // feat
+                n = x.size // x.shape[-1]
                 bessel = n / max(n - 1, 1)
                 m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
-                ra_var.value = m * ra_var.value + (1.0 - m) * (var * bessel)
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean[:feat]
+                ra_var.value = (m * ra_var.value
+                                + (1.0 - m) * (var[:feat] * bessel))
         dtype = self.dtype or x.dtype
+        if pad:
+            scale = jnp.pad(scale, (0, pad), constant_values=1.0)
+            bias = jnp.pad(bias, (0, pad))
         mul = (jax.lax.rsqrt(var.astype(dtype) + jnp.asarray(
             self.epsilon, dtype)) * scale.astype(dtype))
         return ((x.astype(dtype) - mean.astype(dtype)) * mul
@@ -95,22 +114,26 @@ BN = partial(TorchBatchNorm, momentum=0.9, epsilon=1e-5,
              param_dtype=jnp.float32)
 
 
-def make_bn(impl: str, use_running_average: bool, dtype, name: str):
+def make_bn(impl: str, use_running_average: bool, dtype, name: str,
+            real_feat: int = 0):
     """BatchNorm factory: 'flax' (XLA reductions) or 'pallas'
     (single-pass stat kernels, ops/batch_norm.py). Measured on v5e the
     flax path is faster (XLA fuses the stat reductions WITH the
     normalise/grad elementwise work into single passes; splitting them
     out costs extra activation reads — docs/BENCHMARKS.md), so 'auto'
     resolves to 'flax'. The pallas implementation stays available and
-    tested for shapes where XLA's schedule regresses."""
+    tested for shapes where XLA's schedule regresses.
+
+    ``real_feat`` (channel padding, see :class:`ResNet.min_channels`)
+    is flax-only; the pallas kernel falls back to flax when set."""
     if impl == "auto":
         impl = "flax"
-    if impl == "pallas":
+    if impl == "pallas" and not real_feat:
         from stil_tta_tpu.ops.batch_norm import TPUBatchNorm
         return TPUBatchNorm(use_running_average=use_running_average,
                             dtype=dtype, name=name)
     return BN(use_running_average=use_running_average, dtype=dtype,
-              name=name)
+              name=name, real_feat=real_feat)
 
 
 def torch_kaiming_conv_init(key, shape, dtype=jnp.float32):
@@ -126,32 +149,107 @@ Conv = partial(nn.Conv, use_bias=False, kernel_init=torch_kaiming_conv_init,
                param_dtype=jnp.float32)
 
 
+class PadConv(nn.Module):
+    """Conv whose kernel is zero-padded in-graph to lane-aligned channel
+    widths (the ``min_channels`` layout fix, see :class:`ResNet`).
+
+    The parameter keeps the torch-compatible shape
+    ``(kh, kw, real_in, features)`` at the same tree path as
+    :data:`Conv` (``<name>/kernel``) — checkpoints, converters and the
+    EMA teacher are untouched. At trace time the kernel is padded with
+    zeros to ``(kh, kw, x_channels, pad_out)``: zero input-channel rows
+    ignore the caller's zero-padded activation channels, zero output
+    filters produce exactly-zero padded channels, and autodiff slices
+    the gradient back to the real region — bit-identical math with a
+    physically 128-wide activation that XLA lays out channel-minor like
+    every other tensor in the network (round-2 smoking gun:
+    NOTES_ROUND2.md, mixed batch-minor/channel-minor joins).
+    """
+
+    features: int                 # real cout (param width)
+    kernel_size: Any
+    strides: int = 1
+    padding: int = 0
+    real_in: int = 0              # real cin (param depth); 0 = x width
+    pad_out: int = 0              # physical cout; 0/<=features = features
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = self.real_in or x.shape[-1]
+        assert x.shape[-1] >= cin, (x.shape, cin)
+        kernel = self.param("kernel", torch_kaiming_conv_init,
+                            (kh, kw, cin, self.features), self.param_dtype)
+        pad_in = x.shape[-1] - cin
+        pad_out = max(self.pad_out, self.features) - self.features
+        if pad_in or pad_out:
+            kernel = jnp.pad(kernel,
+                             ((0, 0), (0, 0), (0, pad_in), (0, pad_out)))
+        s = self.strides
+        p = self.padding
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(s, s), padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _conv(name, features, ksize, stride, padding, groups, dtype,
+          in_real, pad_out, x):
+    """Dispatch to :class:`PadConv` only when channel padding is in play
+    for this conv (padded input activation and/or padded output width);
+    otherwise the plain :data:`Conv` path keeps the min_channels=0 HLO
+    byte-identical to previous rounds (warm compile caches)."""
+    needs_pad = ((in_real and in_real != x.shape[-1])
+                 or (pad_out and pad_out > features))
+    if needs_pad:
+        assert groups == 1, "channel padding unsupported for grouped convs"
+        return PadConv(features=features, kernel_size=ksize, strides=stride,
+                       padding=padding, real_in=in_real, pad_out=pad_out,
+                       dtype=dtype, name=name)(x)
+    return Conv(features, ksize, strides=stride, padding=padding,
+                feature_group_count=groups, dtype=dtype, name=name)(x)
+
+
 class BasicBlock(nn.Module):
     """``resnets.py:50-88``."""
 
     planes: int
     stride: int = 1
     downsample: bool = False
+    groups: int = 1        # accepted for uniformity; must stay 1
+    base_width: int = 64   # (torchvision BasicBlock raises otherwise)
     dtype: Any = jnp.bfloat16
     bn_impl: str = "auto"
+    min_channels: int = 0  # pad activations narrower than this (ResNet)
+    in_real: int = 0       # real channel width of x (0 = unpadded)
     expansion: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.groups != 1 or self.base_width != 64:
+            raise ValueError(
+                "BasicBlock only supports groups=1 and base_width=64")
+        mc = self.min_channels
+        wp = max(self.planes, mc) if mc else self.planes  # physical width
+        rf = self.planes if wp != self.planes else 0
         identity = x
-        out = _conv_out(Conv(self.planes, (3, 3), strides=self.stride,
-                             padding=1, dtype=self.dtype, name="conv1")(x))
-        out = make_bn(self.bn_impl, not train, self.dtype, "bn1")(out)
+        out = _conv_out(_conv("conv1", self.planes, (3, 3), self.stride, 1,
+                              1, self.dtype, self.in_real, wp, x))
+        out = make_bn(self.bn_impl, not train, self.dtype, "bn1",
+                      real_feat=rf)(out)
         out = nn.relu(out)
-        out = _conv_out(Conv(self.planes, (3, 3), padding=1,
-                             dtype=self.dtype, name="conv2")(out))
-        out = make_bn(self.bn_impl, not train, self.dtype, "bn2")(out)
+        out = _conv_out(_conv("conv2", self.planes, (3, 3), 1, 1, 1,
+                              self.dtype, rf, wp, out))
+        out = make_bn(self.bn_impl, not train, self.dtype, "bn2",
+                      real_feat=rf)(out)
         if self.downsample:
-            identity = _conv_out(Conv(self.planes, (1, 1),
-                                      strides=self.stride, dtype=self.dtype,
-                                      name="downsample_conv")(x))
+            identity = _conv_out(_conv("downsample_conv", self.planes,
+                                       (1, 1), self.stride, 0, 1,
+                                       self.dtype, self.in_real, wp, x))
             identity = make_bn(self.bn_impl, not train, self.dtype,
-                          "downsample_bn")(identity)
+                               "downsample_bn", real_feat=rf)(identity)
         return nn.relu(out + identity)
 
 
@@ -165,28 +263,35 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     dtype: Any = jnp.bfloat16
     bn_impl: str = "auto"
+    min_channels: int = 0  # pad activations narrower than this (ResNet)
+    in_real: int = 0       # real channel width of x (0 = unpadded)
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        mc = self.min_channels
+        wp = max(width, mc) if mc else width  # physical mid width
+        rf = width if wp != width else 0
         identity = x
-        out = _conv_out(Conv(width, (1, 1), dtype=self.dtype,
-                             name="conv1")(x))
-        out = make_bn(self.bn_impl, not train, self.dtype, "bn1")(out)
+        out = _conv_out(_conv("conv1", width, (1, 1), 1, 0, 1, self.dtype,
+                              self.in_real, wp, x))
+        out = make_bn(self.bn_impl, not train, self.dtype, "bn1",
+                      real_feat=rf)(out)
         out = nn.relu(out)
-        out = _conv_out(Conv(width, (3, 3), strides=self.stride, padding=1,
-                             feature_group_count=self.groups,
-                             dtype=self.dtype, name="conv2")(out))
-        out = make_bn(self.bn_impl, not train, self.dtype, "bn2")(out)
+        out = _conv_out(_conv("conv2", width, (3, 3), self.stride, 1,
+                              self.groups, self.dtype, rf, wp, out))
+        out = make_bn(self.bn_impl, not train, self.dtype, "bn2",
+                      real_feat=rf)(out)
         out = nn.relu(out)
-        out = _conv_out(Conv(self.planes * self.expansion, (1, 1),
-                             dtype=self.dtype, name="conv3")(out))
+        out = _conv_out(_conv("conv3", self.planes * self.expansion,
+                              (1, 1), 1, 0, 1, self.dtype, rf, 0, out))
         out = make_bn(self.bn_impl, not train, self.dtype, "bn3")(out)
         if self.downsample:
-            identity = _conv_out(Conv(self.planes * self.expansion, (1, 1),
-                                      strides=self.stride, dtype=self.dtype,
-                                      name="downsample_conv")(x))
+            identity = _conv_out(_conv("downsample_conv",
+                                       self.planes * self.expansion,
+                                       (1, 1), self.stride, 0, 1,
+                                       self.dtype, self.in_real, 0, x))
             identity = make_bn(self.bn_impl, not train, self.dtype,
                           "downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -264,30 +369,49 @@ class ResNet(nn.Module):
     # batch-minor layouts make its join fusions the slowest kernels.
     remat_stages: Any = None
     bn_impl: str = "auto"  # 'pallas' fused stats on TPU, 'flax' else
+    # Layout-uniformity channel padding (round-3 perf attack,
+    # NOTES_ROUND2.md): zero-pad every activation narrower than this to
+    # min_channels physical channels (stem + stage-1 bottleneck mids at
+    # 64ch -> 128). XLA stores sub-128-channel NHWC activations
+    # batch-minor (2 samples packed into the 128 lanes) but wider ones
+    # channel-minor; the mixed layouts throttle the backward
+    # residual-join fusions to ~360 GB/s. Padding is weight-side
+    # (PadConv/real_feat) so parameters, checkpoints and math are
+    # bit-identical; padded channels are exactly zero everywhere.
+    min_channels: int = 0
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
+        mc = self.min_channels
+        stem_p = max(64, mc) if mc else 64   # physical stem width
+        stem_rf = 64 if stem_p != 64 else 0
         if self.first_conv:
             if self.space_to_depth and x.shape[1] % 2 == 0 \
                     and x.shape[2] % 2 == 0:
                 kernel = _StemKernel(in_ch=x.shape[-1],
                                      name="conv1")()
+                if stem_rf:
+                    kernel = jnp.pad(
+                        kernel, ((0, 0), (0, 0), (0, 0), (0, stem_p - 64)))
                 x = _space_to_depth_conv1(x, kernel, self.dtype)
             else:
-                x = Conv(64, (7, 7), strides=2, padding=3,
-                         dtype=self.dtype, name="conv1")(x)
+                x = _conv("conv1", 64, (7, 7), 2, 3, 1, self.dtype,
+                          0, stem_p, x)
         else:
-            x = Conv(64, (3, 3), strides=1, padding=1, dtype=self.dtype,
-                     name="conv1")(x)
-        x = make_bn(self.bn_impl, not train, self.dtype, "bn1")(x)
+            x = _conv("conv1", 64, (3, 3), 1, 1, 1, self.dtype,
+                      0, stem_p, x)
+        x = make_bn(self.bn_impl, not train, self.dtype, "bn1",
+                    real_feat=stem_rf)(x)
         x0 = nn.relu(x)
         if self.maxpool1:
             x0 = nn.max_pool(x0, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         feats = [x0]
+        feats_real = [64]
         x = x0
+        real_ch = 64          # real width of x (physical may be wider)
         in_planes = 64
         if self.remat == "branch":
             block_cls = nn.remat(
@@ -308,14 +432,23 @@ class ResNet(nn.Module):
                 s = stride if b == 0 else 1
                 needs_ds = b == 0 and (
                     s != 1 or in_planes != planes * self.block.expansion)
+                ir = real_ch if real_ch != x.shape[-1] else 0
                 x = cls(planes=planes, stride=s, downsample=needs_ds,
+                        groups=self.groups, base_width=self.width_per_group,
                         dtype=self.dtype, bn_impl=self.bn_impl,
+                        min_channels=mc, in_real=ir,
                         name=f"layer{stage + 1}_{b}")(x, train)
+                real_ch = planes * self.block.expansion
             in_planes = planes * self.block.expansion
             feats.append(x)
+            feats_real.append(real_ch)
 
         if self.return_all_feature_maps:
-            return feats
+            # contract: reference channel widths (``resnets.py:254-260``)
+            return [f if f.shape[-1] == r else f[..., :r]
+                    for f, r in zip(feats, feats_real)]
+        if x.shape[-1] != real_ch:
+            x = x[..., :real_ch]
         pooled = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d((1,1)) + flatten
         return [pooled]
 
@@ -389,8 +522,24 @@ EMBEDDING_DIM = {  # pooled_dim per encoder (``STiLModel.py:37``)
 }
 
 
+def resolve_min_channels(min_channels: Any = None) -> int:
+    """``STIL_RESNET_PAD``: 'auto' (default) = 128 on TPU (the
+    layout-uniformity padding, :class:`ResNet.min_channels`), 0 on CPU
+    (tests keep the unpadded HLO/caches); an integer forces that
+    minimum width on any backend."""
+    if min_channels is not None:
+        return int(min_channels)
+    import os
+    env = os.environ.get("STIL_RESNET_PAD", "auto")
+    if env == "auto":
+        from stil_tta_tpu.utils.jax_setup import is_tpu_backend
+        return 128 if is_tpu_backend() else 0
+    return int(env)
+
+
 def image_encoder(name: str, return_all_feature_maps: bool = False,
-                  dtype: Any = jnp.bfloat16, remat: Any = None):
+                  dtype: Any = jnp.bfloat16, remat: Any = None,
+                  min_channels: Any = None):
     """``torchvision_ssl_encoder`` equivalent
     (``models/self_supervised.py:8-15``): encoder with no fc head.
     Unlike the reference, vit_small/vit_base resolve to a real encoder
@@ -399,6 +548,8 @@ def image_encoder(name: str, return_all_feature_maps: bool = False,
 
     ``remat`` (ResNets only): None resolves from ``STIL_RESNET_REMAT``
     ('branch' | 'full' | '0', default off) — see :class:`ResNet`.
+    ``min_channels`` (ResNets only): None resolves from
+    ``STIL_RESNET_PAD`` — see :func:`resolve_min_channels`.
     """
     if name.startswith("vit"):
         from stil_tta_tpu.models import vit
@@ -421,4 +572,5 @@ def image_encoder(name: str, return_all_feature_maps: bool = False,
             stages = tuple(int(s) for s in st.split(",") if s)
         remat = env if env in ("branch", "full") else False
     return _ENCODERS[name](return_all_feature_maps=return_all_feature_maps,
-                           dtype=dtype, remat=remat, remat_stages=stages)
+                           dtype=dtype, remat=remat, remat_stages=stages,
+                           min_channels=resolve_min_channels(min_channels))
