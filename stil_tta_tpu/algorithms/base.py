@@ -19,6 +19,8 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+
+from stil_tta_tpu.losses.common import at_least_f32
 import flax.struct
 import optax
 
@@ -83,7 +85,7 @@ def distribution_alignment(da: DAState, probs: jax.Array):
 def sharpen(logits: jax.Array, temperature: float) -> jax.Array:
     """``STiLModel.py:195-196``."""
     return jax.nn.softmax(
-        jax.lax.stop_gradient(logits).astype(jnp.float32) / temperature,
+        at_least_f32(jax.lax.stop_gradient(logits)) / temperature,
         axis=1)
 
 

@@ -89,7 +89,7 @@ class CoMatch(MatchBase):
 
         def step(state: MatchState, cache_l, cache_u, idx_l, idx_u,
                  epoch: jax.Array):
-            rng, kl, ku, kd = jax.random.split(state.rng, 4)
+            rng, kl, ku, kd, kt = jax.random.split(state.rng, 5)
             bl = gather_batch(cache_l, idx_l)
             bu = gather_batch(cache_u, idx_u)
             y_l, y_u = bl["labels"], bu["labels"]
@@ -104,20 +104,25 @@ class CoMatch(MatchBase):
                                        marginal_table(cache_u), two_strong=True)
 
             # momentum encoder update + teacher fwd on (x, u_w, u_s1).
-            # NOTE: CoMatch's reference lerps *parameters only*
-            # (``comatch_model.py:111-115``); the momentum encoder's BN
-            # running stats stay at their init copy (eman=False), unlike
-            # SimMatch/FreeMatch's state-dict lerp.
+            # NOTE two reference quirks kept (``comatch_model.py``):
+            # (1) the lerp is *parameters only* (``:111-115``), unlike
+            # SimMatch/FreeMatch's state-dict lerp; (2) the momentum
+            # encoder is never switched to eval() — Lightning leaves it
+            # in TRAIN mode, so its forward normalises by the current
+            # batch statistics (``:245-253``; its own running stats
+            # drift but are never read). We therefore run the teacher
+            # with train-mode BN and discard the mutated stats.
             ema_p, ema_bs = ema_update(state.ema_params, state.params,
                                        momentum, False,
                                        state.ema_batch_stats,
                                        state.batch_stats)
-            state_t = dataclasses.replace(state, ema_params=ema_p,
-                                          ema_batch_stats=ema_bs)
-            logits_m, feats_m = self.apply_teacher(
-                state_t,
+            ema_p = jax.lax.stop_gradient(ema_p)
+            logits_m, feats_m, _ = self.apply_student(
+                ema_p, state.ema_batch_stats,
                 jnp.concatenate([img_x, img_w, img_s1]),
-                jnp.concatenate([tab_x, tab_w, tab_s1]))
+                jnp.concatenate([tab_x, tab_w, tab_s1]), kt)
+            logits_m = jax.lax.stop_gradient(logits_m)
+            feats_m = jax.lax.stop_gradient(feats_m)
             outputs_uw = logits_m[b_l:b_l + b_u]
             feature_uw = feats_m[b_l:b_l + b_u]
             feature_xuw = feats_m[:b_l + b_u]

@@ -61,30 +61,32 @@ class CoTrain(MMatch):
             images = jnp.concatenate([img_l, img_u])
             tabs = jnp.concatenate([tab_l, tab_u])
 
-            # EMAN teacher (``CoTraining.py:94-109, 128-137``)
-            if use_ema:
-                ema_p, ema_bs = ema_update(state.ema_params, state.params,
-                                           momentum, eman,
-                                           state.ema_batch_stats,
-                                           state.batch_stats)
-                _, oi_e, ot_e, _ = self.net.apply(
-                    {"params": ema_p, "batch_stats": ema_bs}, images,
-                    tabs, train=False)
-                oi_e = jax.lax.stop_gradient(oi_e)
-                ot_e = jax.lax.stop_gradient(ot_e)
-                teacher_from_student = False
-            else:
-                ema_p, ema_bs = state.ema_params, state.ema_batch_stats
-                oi_e = ot_e = None
-                teacher_from_student = True
-
             def loss_fn(params):
                 om, oi, ot, _, new_stats = self._apply_3head(
                     params, state.batch_stats, images, tabs, kd)
-                t_i = oi_e if not teacher_from_student \
-                    else jax.lax.stop_gradient(oi)
-                t_t = ot_e if not teacher_from_student \
-                    else jax.lax.stop_gradient(ot)
+                # EMAN teacher (``CoTraining.py:94-109, 128-137``):
+                # student forward first, then the state-dict lerp from
+                # the student's POST-forward BN stats, then the
+                # eval-mode teacher (reference ordering — training_step
+                # calls model.forward, then momentum_update_ema inside
+                # no_grad, then ema.forward). stop_gradient prunes the
+                # teacher from the backward.
+                if use_ema:
+                    ema_p, ema_bs = ema_update(state.ema_params, params,
+                                               momentum, eman,
+                                               state.ema_batch_stats,
+                                               new_stats)
+                    ema_p = jax.lax.stop_gradient(ema_p)
+                    ema_bs = jax.lax.stop_gradient(ema_bs)
+                    _, oi_e, ot_e, _ = self.net.apply(
+                        {"params": ema_p, "batch_stats": ema_bs}, images,
+                        tabs, train=False)
+                    t_i = jax.lax.stop_gradient(oi_e)
+                    t_t = jax.lax.stop_gradient(ot_e)
+                else:
+                    ema_p, ema_bs = state.ema_params, state.ema_batch_stats
+                    t_i = jax.lax.stop_gradient(oi)
+                    t_t = jax.lax.stop_gradient(ot)
                 pseudo_i = jax.nn.softmax(t_i[b_l:], axis=1)
                 pseudo_t = jax.nn.softmax(t_t[b_l:], axis=1)
                 mask_i = (jnp.max(pseudo_i, axis=1) >= threshold) \
@@ -108,9 +110,9 @@ class CoTrain(MMatch):
                         "CEloss_unlabelled_t": loss_t_u,
                         "threshold_i_ratio": jnp.mean(mask_i),
                         "threshold_t_ratio": jnp.mean(mask_t)}
-                return total, (new_stats, om, logs)
+                return total, (new_stats, ema_p, ema_bs, om, logs)
 
-            grads, (new_stats, om, logs) = jax.grad(
+            grads, (new_stats, ema_p, ema_bs, om, logs) = jax.grad(
                 loss_fn, has_aux=True)(state.params)
             updates, new_opt = self.tx.update(grads, state.opt_state,
                                               state.params)

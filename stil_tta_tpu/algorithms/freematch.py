@@ -61,37 +61,47 @@ class FreeMatch(MatchBase):
             (img_w, tab_w), (img_s, tab_s), _ = self.weak_strong_views(
                 ku, bu["images"], bu["tabular"], marginal_table(cache_u))
 
-            ema_p, ema_bs = ema_update(state.ema_params, state.params,
-                                       momentum, True,
-                                       state.ema_batch_stats,
-                                       state.batch_stats)
-            state_t = dataclasses.replace(state, ema_params=ema_p,
-                                          ema_batch_stats=ema_bs)
-            logits_uw, _ = self.apply_teacher(state_t, img_w, tab_w)
-            probs_uw = jax.nn.softmax(logits_uw, axis=1)
-
-            # self-adaptive threshold state update (:127-143); batch
-            # means are global under GSPMD (reference all-gathers)
-            max_probs = jnp.max(probs_uw, axis=1)
-            max_idx = jnp.argmax(probs_uw, axis=1)
-            time_p = state.extra["time_p"] * m \
-                + (1 - m) * jnp.mean(max_probs)
-            p_model = state.extra["p_model"] * m \
-                + (1 - m) * jnp.mean(probs_uw, axis=0)
-            hist = jnp.zeros((c,)).at[max_idx].add(1.0)
-            label_hist = state.extra["label_hist"] * m \
-                + (1 - m) * hist / jnp.sum(hist)
-
-            # masking (:145-165)
-            mod = p_model / jnp.max(p_model)
-            mask = (max_probs >= time_p * mod[max_idx]).astype(jnp.float32)
-            pseudo_label = jax.nn.one_hot(max_idx, c, dtype=jnp.float32)
-
             def loss_fn(params):
+                # Student forward FIRST, then the EMAN state-dict lerp
+                # from the student's POST-forward BN stats, then the
+                # eval-mode teacher on u_w — the reference's ordering
+                # (``freematch_model.py:179-188``: main() mutates running
+                # stats, momentum_update_ema(), ema.eval() forward). The
+                # teacher block is stop_gradient'd (zero backward cost).
                 logits, _, new_stats = self.apply_student(
                     params, state.batch_stats,
                     jnp.concatenate([img_x, img_s]),
                     jnp.concatenate([tab_x, tab_s]), kd)
+                ema_p, ema_bs = ema_update(state.ema_params, params,
+                                           momentum, True,
+                                           state.ema_batch_stats,
+                                           new_stats)
+                ema_p = jax.lax.stop_gradient(ema_p)
+                ema_bs = jax.lax.stop_gradient(ema_bs)
+                state_t = dataclasses.replace(state, ema_params=ema_p,
+                                              ema_batch_stats=ema_bs)
+                logits_uw, _ = self.apply_teacher(state_t, img_w, tab_w)
+                probs_uw = jax.nn.softmax(logits_uw, axis=1)
+
+                # self-adaptive threshold state update (:127-143); batch
+                # means are global under GSPMD (reference all-gathers)
+                max_probs = jnp.max(probs_uw, axis=1)
+                max_idx = jnp.argmax(probs_uw, axis=1)
+                time_p = state.extra["time_p"] * m \
+                    + (1 - m) * jnp.mean(max_probs)
+                p_model = state.extra["p_model"] * m \
+                    + (1 - m) * jnp.mean(probs_uw, axis=0)
+                hist = jnp.zeros((c,)).at[max_idx].add(1.0)
+                label_hist = state.extra["label_hist"] * m \
+                    + (1 - m) * hist / jnp.sum(hist)
+
+                # masking (:145-165)
+                mod = p_model / jnp.max(p_model)
+                mask = (max_probs >= time_p * mod[max_idx]) \
+                    .astype(jnp.float32)
+                pseudo_label = jax.nn.one_hot(max_idx, c,
+                                              dtype=jnp.float32)
+
                 logits_x, logits_us = logits[:b_l], logits[b_l:]
                 loss_x = cross_entropy(logits_x, y_l)
                 # NOTE the reference applies NO confidence mask to the
@@ -106,9 +116,11 @@ class FreeMatch(MatchBase):
                 logs = {"loss": total, "loss_x": loss_x, "loss_u": loss_u,
                         "loss_e": loss_e,
                         "threshold1_ratio": jnp.mean(mask)}
-                return total, (new_stats, logits_x, logits_us, logs)
+                return total, (new_stats, ema_p, ema_bs, time_p, p_model,
+                               label_hist, logits_x, logits_us, logs)
 
-            grads, (new_stats, logits_x, logits_us, logs) = jax.grad(
+            grads, (new_stats, ema_p, ema_bs, time_p, p_model, label_hist,
+                    logits_x, logits_us, logs) = jax.grad(
                 loss_fn, has_aux=True)(state.params)
             updates, new_opt = self.tx.update(grads, state.opt_state,
                                               state.params)

@@ -67,48 +67,56 @@ class SimMatch(MatchBase):
             (img_w, tab_w), (img_s, tab_s), _ = self.weak_strong_views(
                 ku, bu["images"], bu["tabular"], marginal_table(cache_u))
 
-            # EMAN update then teacher forward on (x, u_w)
-            # (``simmatch_model.py:246-264``; the reference's update is
-            # the state-dict lerp, i.e. EMAN incl. BN stats)
-            ema_p, ema_bs = ema_update(state.ema_params, state.params,
-                                       momentum, True,
-                                       state.ema_batch_stats,
-                                       state.batch_stats)
-            state_t = dataclasses.replace(state, ema_params=ema_p,
-                                          ema_batch_stats=ema_bs)
-            logits_k, feat_k = self.apply_teacher(
-                state_t, jnp.concatenate([img_x, img_w]),
-                jnp.concatenate([tab_x, tab_w]))
-            feat_kx, feat_ku = feat_k[:b_l], feat_k[b_l:]
-            prob_ku_orig = jax.nn.softmax(logits_k[b_l:], axis=1)
-            if use_da:
-                da, prob_ku_orig = distribution_alignment(state.da,
-                                                          prob_ku_orig)
-            else:
-                da = state.da
-
             bank = state.extra["bank"]
             bank_labels = state.extra["bank_labels"]
             onehot_bank = jax.nn.one_hot(bank_labels, c)  # (K, C)
 
-            # semantic-instance teacher distribution (:268-282)
-            teacher_logits = feat_ku @ bank
-            teacher_prob_orig = jax.nn.softmax(teacher_logits / tt, axis=1)
-            factor = prob_ku_orig @ onehot_bank.T  # [b,k]=prob[b,lbl[k]]
-            teacher_prob = teacher_prob_orig * factor
-            teacher_prob = teacher_prob / jnp.clip(
-                jnp.sum(teacher_prob, axis=1, keepdims=True), 1e-12)
-            aggregated = teacher_prob_orig @ onehot_bank  # (B, C)
-            prob_ku = c_smooth * prob_ku_orig + (1 - c_smooth) * aggregated
-
-            mask = (jnp.max(prob_ku, axis=1) >= threshold) \
-                .astype(jnp.float32)
-
             def loss_fn(params):
+                # Student forward FIRST, then the EMAN state-dict lerp
+                # from the student's POST-forward BN stats, then the
+                # eval-mode teacher on (x, u_w) — the reference's exact
+                # ordering (``simmatch_model.py:240-264``: main() mutates
+                # running stats in train mode, momentum_update_ema()
+                # lerps the state dict, ema.eval() forward). The teacher
+                # block is stop_gradient'd so XLA prunes it from the
+                # backward — same cost as hoisting it out of loss_fn.
                 logits, feat, new_stats = self.apply_student(
                     params, state.batch_stats,
                     jnp.concatenate([img_x, img_s]),
                     jnp.concatenate([tab_x, tab_s]), kd)
+                ema_p, ema_bs = ema_update(state.ema_params, params,
+                                           momentum, True,
+                                           state.ema_batch_stats,
+                                           new_stats)
+                ema_p = jax.lax.stop_gradient(ema_p)
+                ema_bs = jax.lax.stop_gradient(ema_bs)
+                state_t = dataclasses.replace(state, ema_params=ema_p,
+                                              ema_batch_stats=ema_bs)
+                logits_k, feat_k = self.apply_teacher(
+                    state_t, jnp.concatenate([img_x, img_w]),
+                    jnp.concatenate([tab_x, tab_w]))
+                feat_kx, feat_ku = feat_k[:b_l], feat_k[b_l:]
+                prob_ku_orig = jax.nn.softmax(logits_k[b_l:], axis=1)
+                if use_da:
+                    da, prob_ku_orig = distribution_alignment(
+                        state.da, prob_ku_orig)
+                else:
+                    da = state.da
+
+                # semantic-instance teacher distribution (:268-282)
+                teacher_logits = feat_ku @ bank
+                teacher_prob_orig = jax.nn.softmax(teacher_logits / tt,
+                                                   axis=1)
+                factor = prob_ku_orig @ onehot_bank.T  # prob[b, lbl[k]]
+                teacher_prob = teacher_prob_orig * factor
+                teacher_prob = teacher_prob / jnp.clip(
+                    jnp.sum(teacher_prob, axis=1, keepdims=True), 1e-12)
+                aggregated = teacher_prob_orig @ onehot_bank  # (B, C)
+                prob_ku = (c_smooth * prob_ku_orig
+                           + (1 - c_smooth) * aggregated)
+                mask = (jnp.max(prob_ku, axis=1) >= threshold) \
+                    .astype(jnp.float32)
+
                 logits_qx, logits_qu = logits[:b_l], logits[b_l:]
                 feat_qu = feat[b_l:]
                 loss_x = cross_entropy(logits_qx, y_l)
@@ -123,9 +131,11 @@ class SimMatch(MatchBase):
                 logs = {"loss": total, "loss_x": loss_x, "loss_u": loss_u,
                         "loss_in": loss_in,
                         "threshold1_ratio": jnp.mean(mask)}
-                return total, (new_stats, logits_qx, logits_qu, logs)
+                return total, (new_stats, ema_p, ema_bs, feat_kx, da,
+                               logits_qx, logits_qu, logs)
 
-            grads, (new_stats, logits_qx, logits_qu, logs) = jax.grad(
+            grads, (new_stats, ema_p, ema_bs, feat_kx, da, logits_qx,
+                    logits_qu, logs) = jax.grad(
                 loss_fn, has_aux=True)(state.params)
             updates, new_opt = self.tx.update(grads, state.opt_state,
                                               state.params)

@@ -56,7 +56,7 @@ from stil_tta_tpu.train.optim import build_optimizer
 
 
 def _l2norm(x):
-    x = x.astype(jnp.float32)
+    x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     return x / jnp.clip(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
 
 

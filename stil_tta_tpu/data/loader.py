@@ -186,13 +186,36 @@ class HostStream:
                     for k, v in batch.items()}
         return {k: jax.device_put(v) for k, v in batch.items()}
 
-    def epoch(self) -> Iterator[dict]:
+    def _assemble_block(self, pairs) -> dict:
+        """Gather K batches as one (K*B) native gather + device_put,
+        reshaped to (K, B, ...) — one transfer and one dispatch per K
+        steps (the host-stream analog of ``steps_per_dispatch``)."""
+        from stil_tta_tpu.data import native_loader
+        idx = np.concatenate([p[0] for p in pairs])
+        k, b = len(pairs), len(pairs[0][0])
+        resh = lambda a: a.reshape((k, b) + a.shape[1:])
+        batch = {
+            "images": resh(native_loader.gather_rows(self.source.images,
+                                                     idx)),
+            "tabular": resh(np.ascontiguousarray(self.source.tabular[idx])),
+            "labels": resh(self.source.labels[idx].astype(np.int32)),
+            "labelled": resh(np.ascontiguousarray(
+                self.source.labelled[idx])),
+        }
+        if self.source.missing is not None:
+            batch["missing"] = resh(np.ascontiguousarray(
+                self.source.missing[idx]))
+        put = (lambda v: jax.device_put(v, self.sharding)) \
+            if self.sharding is not None else jax.device_put
+        return {k_: put(v) for k_, v in batch.items()}
+
+    def _prefetched(self, produce) -> Iterator:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.depth)
         stop = object()
 
         def worker():
-            for idx, w in self.sampler.epoch():
-                q.put(self._assemble(idx, w))
+            for item in produce():
+                q.put(item)
             q.put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -203,3 +226,29 @@ class HostStream:
                 break
             yield item
         t.join()
+
+    def epoch(self) -> Iterator[dict]:
+        return self._prefetched(
+            lambda: (self._assemble(idx, w)
+                     for idx, w in self.sampler.epoch()))
+
+    def epoch_blocks(self, k: int,
+                     max_steps: Optional[int] = None) -> Iterator[tuple]:
+        """Yield ``("block", stacked (K,B,...) caches)`` for full groups
+        of k consecutive batches and ``("single", cache)`` for the epoch
+        tail, prefetched like :meth:`epoch`."""
+
+        def produce():
+            buf, count = [], 0
+            for idx, w in self.sampler.epoch():
+                if max_steps is not None and count >= max_steps:
+                    break
+                buf.append((idx, w))
+                count += 1
+                if len(buf) == k:
+                    yield "block", self._assemble_block(buf)
+                    buf = []
+            for idx, w in buf:
+                yield "single", self._assemble(idx, w)
+
+        return self._prefetched(produce)

@@ -19,8 +19,9 @@ def clip_loss(out0: jax.Array, out1: jax.Array, temperature: float,
     similarity matrix (as -1e9 columns) and the loss reduction, making a
     padded batch compute exactly what the reference computes on the
     smaller final batch (its val loader does not pad)."""
-    out0 = out0.astype(jnp.float32)
-    out1 = out1.astype(jnp.float32)
+    from stil_tta_tpu.losses.common import at_least_f32
+    out0 = at_least_f32(out0)
+    out1 = at_least_f32(out1)
     out0 = out0 / jnp.clip(jnp.linalg.norm(out0, axis=1, keepdims=True),
                            1e-12)
     out1 = out1 / jnp.clip(jnp.linalg.norm(out1, axis=1, keepdims=True),

@@ -23,7 +23,8 @@ class CLUBMean(nn.Module):
 
     @nn.compact
     def __call__(self, x_samples: jax.Array) -> jax.Array:
-        x = x_samples.astype(jnp.float32)
+        from stil_tta_tpu.losses.common import at_least_f32
+        x = at_least_f32(x_samples)
         h = nn.Dense(self.hidden_size, param_dtype=jnp.float32,
                      name="fc1")(x)
         h = nn.relu(h)
@@ -41,8 +42,9 @@ def club_losses(mu: jax.Array, y_samples: jax.Array,
     ``weights`` (0/1 per row) excludes padded rows from every reduction
     (incl. the negative-pair means), matching the unpadded computation.
     """
-    mu = mu.astype(jnp.float32)
-    y = y_samples.astype(jnp.float32)
+    from stil_tta_tpu.losses.common import at_least_f32
+    mu = at_least_f32(mu)
+    y = at_least_f32(y_samples)
     positive = -jnp.sum((mu - y) ** 2, axis=-1) / 2.0
     # negative_i = -mean_j ||y_j - mu_i||^2 / 2, expanded algebraically to
     # avoid materialising the reference's (B, B, D) tensor

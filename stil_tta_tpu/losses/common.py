@@ -14,9 +14,16 @@ import jax
 import jax.numpy as jnp
 
 
+def at_least_f32(x: jax.Array) -> jax.Array:
+    """Cast to f32 for bf16 inputs but KEEP f64 (promote, never
+    truncate) — f64 end-to-end parity tests rely on the loss graph not
+    injecting f32 noise; bf16/f32 production HLO is unchanged."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def cross_entropy(logits: jax.Array, labels: jax.Array,
                   reduction: str = "mean") -> jax.Array:
-    logits = logits.astype(jnp.float32)
+    logits = at_least_f32(logits)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32),
                                axis=-1)[:, 0]
@@ -29,9 +36,9 @@ def cross_entropy(logits: jax.Array, labels: jax.Array,
 
 def soft_cross_entropy(logits: jax.Array, target_probs: jax.Array,
                        reduction: str = "mean") -> jax.Array:
-    logits = logits.astype(jnp.float32)
+    logits = at_least_f32(logits)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.sum(target_probs.astype(jnp.float32) * logp, axis=-1)
+    nll = -jnp.sum(at_least_f32(target_probs) * logp, axis=-1)
     if reduction == "mean":
         return jnp.mean(nll)
     if reduction == "sum":
@@ -47,7 +54,7 @@ def entropy_loss(mask: jax.Array, logits_s: jax.Array, prob_model: jax.Array,
     prob_model / label_hist: EMA class-distribution state.
     """
     mask = mask.astype(jnp.float32)
-    prob_s = jax.nn.softmax(logits_s.astype(jnp.float32), axis=-1)
+    prob_s = jax.nn.softmax(at_least_f32(logits_s), axis=-1)
     denom = jnp.sum(mask)
     safe = jnp.clip(denom, 1.0)
     # histogram of confident strong predictions (masked select -> weights)

@@ -15,8 +15,9 @@ import jax.numpy as jnp
 
 def prototype_loss(label: jax.Array, prototypes: jax.Array, feat: jax.Array,
                    temperature: float, threshold: float) -> jax.Array:
-    label = label.astype(jnp.float32)
-    sim = (feat.astype(jnp.float32) @ prototypes.astype(jnp.float32).T) \
+    from stil_tta_tpu.losses.common import at_least_f32
+    label = at_least_f32(label)
+    sim = (at_least_f32(feat) @ at_least_f32(prototypes).T) \
         / temperature
     sim = jax.nn.softmax(sim, axis=1)
     log_sim = jnp.log(sim + 1e-7)

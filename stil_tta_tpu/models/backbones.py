@@ -125,7 +125,8 @@ class DisCoBackbone(nn.Module):
         x_si_pool = jnp.mean(x_si, axis=1)
         x_st_pool = jnp.mean(x_st, axis=1)
         x_si_enh, x_st_enh, x_c = self.fuse(x_si, x_ai, x_st, x_at, train)
-        f32 = lambda t: t.astype(jnp.float32)
+        f32 = lambda t: t.astype(jnp.promote_types(t.dtype,
+                                                    jnp.float32))
         out_m = self.classifier_multimodal(
             f32(jnp.concatenate([x_si_enh, x_c, x_st_enh], axis=1)))
         out_i = self.classifier_imaging(

@@ -381,11 +381,16 @@ class ResNet(nn.Module):
     min_channels: int = 0
     dtype: Any = jnp.bfloat16
 
+    # pad the stem too when min_channels is set (the stem's 64x64x64
+    # output is the largest narrow tensor, but also the costliest to
+    # widen — separately toggleable for measurement)
+    pad_stem: bool = True
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         mc = self.min_channels
-        stem_p = max(64, mc) if mc else 64   # physical stem width
+        stem_p = max(64, mc) if (mc and self.pad_stem) else 64
         stem_rf = 64 if stem_p != 64 else 0
         if self.first_conv:
             if self.space_to_depth and x.shape[1] % 2 == 0 \
@@ -523,18 +528,25 @@ EMBEDDING_DIM = {  # pooled_dim per encoder (``STiLModel.py:37``)
 
 
 def resolve_min_channels(min_channels: Any = None) -> int:
-    """``STIL_RESNET_PAD``: 'auto' (default) = 128 on TPU (the
-    layout-uniformity padding, :class:`ResNet.min_channels`), 0 on CPU
-    (tests keep the unpadded HLO/caches); an integer forces that
-    minimum width on any backend."""
+    """``STIL_RESNET_PAD``: integer minimum physical channel width
+    (:class:`ResNet.min_channels`), default 0 = off.
+
+    Off by default as a MEASURED negative result (round 3, v5e,
+    reference DVM STiL shape): padding the width-64 tensors to 128
+    makes every layout uniform but costs 2-4x FLOPs on the affected
+    convs, and the step is FLOP-coupled enough that the bench LOST
+    16% (4,449 vs 5,323 samples/s; 12% loss even with the stem left
+    narrow via ``STIL_RESNET_PAD_STEM=0``). The genuine
+    wide_resnet50_2 scaling point (3,372/s at ~1.85x modeled FLOPs —
+    1.58x slower) shows wider channels are more efficient per FLOP,
+    but nowhere near the 'free' reading round 2 derived from the
+    then-broken wide model. The mechanism stays available (and
+    f64-exact, tests/test_channel_pad.py) for shapes where the
+    trade-off differs."""
     if min_channels is not None:
         return int(min_channels)
     import os
-    env = os.environ.get("STIL_RESNET_PAD", "auto")
-    if env == "auto":
-        from stil_tta_tpu.utils.jax_setup import is_tpu_backend
-        return 128 if is_tpu_backend() else 0
-    return int(env)
+    return int(os.environ.get("STIL_RESNET_PAD", "0"))
 
 
 def image_encoder(name: str, return_all_feature_maps: bool = False,
@@ -571,6 +583,9 @@ def image_encoder(name: str, return_all_feature_maps: bool = False,
             env, _, st = env.partition(":")
             stages = tuple(int(s) for s in st.split(",") if s)
         remat = env if env in ("branch", "full") else False
+    import os as _os
+    pad_stem = _os.environ.get("STIL_RESNET_PAD_STEM", "1") != "0"
     return _ENCODERS[name](return_all_feature_maps=return_all_feature_maps,
                            dtype=dtype, remat=remat, remat_stages=stages,
-                           min_channels=resolve_min_channels(min_channels))
+                           min_channels=resolve_min_channels(min_channels),
+                           pad_stem=pad_stem)

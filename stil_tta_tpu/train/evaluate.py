@@ -226,7 +226,7 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
     train_step = lazy_tuned(algo.make_train_step())
     eval_step = lazy_tuned(algo.make_eval_step())
     spd = int(cfg.steps_per_dispatch or 1)
-    scan_step = None
+    scan_step = scan_stream = None
     if spd > 1:
         from stil_tta_tpu.train.multistep import make_scan_train_step
         scan_step = lazy_tuned(make_scan_train_step(
@@ -285,14 +285,38 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
             l_stream = HostStream(
                 src_l, CyclingEpochView(l_sampler, steps_per_epoch))
             u_stream = HostStream(src_u, u_sampler)
-            for bi, (bl, bu) in enumerate(zip(l_stream.epoch(),
-                                              u_stream.epoch())):
-                if bi >= steps_per_epoch:  # limit_train_batches cap
-                    break
-                vl = {k: bl[k] for k in keys if k in bl}
-                vu = {k: bu[k] for k in keys if k in bu}
-                vl["marginal"], vu["marginal"] = marg_l, marg_u
-                state = train_step(state, vl, vu, il, iu, epoch_arr)
+            if spd > 1:
+                # ship (K, B) stacked blocks per dispatch — the
+                # host-stream analog of steps_per_dispatch (one
+                # transfer + one device call per K steps); tail
+                # batches fall back to single steps
+                if scan_stream is None:
+                    from stil_tta_tpu.train.multistep import \
+                        make_scan_stream_step
+                    scan_stream = lazy_tuned(make_scan_stream_step(
+                        algo.make_train_step(), spd))
+                for (kind_l, bl), (kind_u, bu) in zip(
+                        l_stream.epoch_blocks(spd, steps_per_epoch),
+                        u_stream.epoch_blocks(spd, steps_per_epoch)):
+                    assert kind_l == kind_u, (kind_l, kind_u)
+                    vl = {k: bl[k] for k in keys if k in bl}
+                    vu = {k: bu[k] for k in keys if k in bu}
+                    if kind_l == "block":
+                        state = scan_stream(state, vl, vu, marg_l,
+                                            marg_u, il, iu, epoch_arr)
+                    else:
+                        vl["marginal"], vu["marginal"] = marg_l, marg_u
+                        state = train_step(state, vl, vu, il, iu,
+                                           epoch_arr)
+            else:
+                for bi, (bl, bu) in enumerate(zip(l_stream.epoch(),
+                                                  u_stream.epoch())):
+                    if bi >= steps_per_epoch:  # limit_train_batches cap
+                        break
+                    vl = {k: bl[k] for k in keys if k in bl}
+                    vu = {k: bu[k] for k in keys if k in bu}
+                    vl["marginal"], vu["marginal"] = marg_l, marg_u
+                    state = train_step(state, vl, vu, il, iu, epoch_arr)
             pairs = []
         else:
             pairs = [(l_sampler.next()[0], idx_u)

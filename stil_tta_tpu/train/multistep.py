@@ -31,6 +31,29 @@ def make_scan_train_step(jitted_step, k: int):
     return jax.jit(scan_fn, donate_argnums=(0,))
 
 
+def make_scan_stream_step(jitted_step, k: int):
+    """Host-stream variant of :func:`make_scan_train_step`: scan over
+    K stacked per-batch "virtual caches" (leaves shaped (K, B, ...))
+    instead of K index vectors into a device cache. The corruption
+    marginals (full tabular tables) are passed separately and shared
+    across the K steps, keeping the marginal semantics exact."""
+    body = getattr(jitted_step, "__wrapped__", None)
+    if body is None:
+        raise ValueError("train step does not expose __wrapped__")
+
+    def scan_fn(state, vl_k, vu_k, marg_l, marg_u, idx_l, idx_u, epoch):
+        def f(s, caches):
+            bl, bu = caches
+            bl = dict(bl, marginal=marg_l)
+            bu = dict(bu, marginal=marg_u)
+            return body(s, bl, bu, idx_l, idx_u, epoch), None
+
+        state, _ = jax.lax.scan(f, state, (vl_k, vu_k))
+        return state
+
+    return jax.jit(scan_fn, donate_argnums=(0,))
+
+
 def chunk_indices(pairs, k: int):
     """Group an iterable of (idx_l, idx_u) into ((K,Bl),(K,Bu)) blocks +
     a list of leftover single pairs."""

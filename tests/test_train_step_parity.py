@@ -128,11 +128,16 @@ def t_cal_prototypes(label, feat):
 
 
 def torch_train_step(tm, teacher, img, tab, y_l, prototypes, mask_random,
-                     epoch, start_epoch):
-    """The reference training_step (``STiLModel.py:228-386``), DA off,
-    multiclass, use_ema/eman on, followed by an SGD(LR) update."""
+                     epoch, start_epoch, lr=LR, da=None):
+    """The reference training_step (``STiLModel.py:228-386``),
+    multiclass, use_ema/eman on, followed by an SGD(lr) update.
+
+    ``da``: optional ``{"queue": (256, C) tensor, "ptr": int}`` dict —
+    the reference's distribution-alignment buffer
+    (``STiLModel.py:100-104,171-180``), mutated in place. None = DA off
+    (prediction = sharpened multimodal probs)."""
     tm.train()
-    opt = torch.optim.SGD(tm.parameters(), lr=LR)
+    opt = torch.optim.SGD(tm.parameters(), lr=lr)
     mlp = tm.projector_multimodal.layers
     (yhm, yhi, yht, x_si_e, x_si, x_ai, x_st_e, x_st, x_at,
      x_c) = t_forward_all(tm.backbone, img, tab)
@@ -169,7 +174,16 @@ def torch_train_step(tm, teacher, img, tab, y_l, prototypes, mask_random,
                    + case2_i[:, None] * sharpen((yhm_ue + yhi_ue) / 2)
                    + case2_t[:, None] * sharpen((yhm_ue + yht_ue) / 2)
                    + case3[:, None] * sharpen(yhm_ue))
-        prediction = sharpen(yhm_ue)  # DA off
+        if da is None:
+            prediction = sharpen(yhm_ue)  # DA off
+        else:
+            # ``STiLModel.py:171-180``: enqueue the batch mean, divide
+            # by the queue mean, renormalise
+            probs = torch.softmax(yhm_ue.detach(), dim=1)
+            da["queue"][da["ptr"]] = probs.mean(0)
+            da["ptr"] = (da["ptr"] + 1) % da["queue"].shape[0]
+            prediction = probs / da["queue"].mean(0)
+            prediction = prediction / prediction.sum(1, keepdim=True)
         teacher_probs = torch.softmax(feat_m_ue @ prototypes.t() / TEMP, 1)
         pseudo_label = (RATE_PSEUDO * pl_orig
                         + (1 - RATE_PSEUDO) * teacher_probs)
