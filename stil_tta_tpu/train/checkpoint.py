@@ -117,15 +117,32 @@ def restore_checkpoint(directory: os.PathLike, target: Any,
         import numpy as np
         changed = []
 
-        def _adapt(dt, m, t):
-            if (_is_typed_key(t)
-                    and tuple(m.shape) != tuple(dt.shape)):
+        def _meta_at(path):
+            """Index the checkpoint-metadata tree (plain nested dicts)
+            by OUR tree path — the target may be a flax dataclass whose
+            treedef does not match the metadata's, so a 3-tree tree_map
+            would throw (dataclass-vs-dict node mismatch)."""
+            node = meta
+            for p in path:
+                key = getattr(p, "key", None)
+                if key is None:
+                    key = getattr(p, "name", None)
+                if key is None:
+                    key = getattr(p, "idx", None)
+                node = node[key]
+            return node
+
+        def _adapt(path, dt, t):
+            if not _is_typed_key(t):
+                return dt
+            m = _meta_at(path)
+            if tuple(m.shape) != tuple(dt.shape):
                 changed.append(True)
                 return np.zeros(m.shape, dt.dtype)
             return dt
 
-        adapted = jax.tree_util.tree_map(_adapt, data_target, meta,
-                                         target_h)
+        adapted = jax.tree_util.tree_map_with_path(_adapt, data_target,
+                                                   target_h)
         if not changed:
             raise
         restored = ckptr.restore(d, target=adapted)

@@ -145,3 +145,33 @@ def test_async_save_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out["w"]),
                                np.arange(6.0).reshape(2, 3) * 2)
     assert int(out["step"]) == 8
+
+
+def test_cross_impl_restore_dataclass_target(tmp_path):
+    """The key-shape fallback must survive flax-dataclass targets: the
+    checkpoint metadata tree is plain nested dicts, so the fallback
+    indexes it by path instead of tree_map-ing across mismatched
+    treedefs (round-3 regression: STiLState restore after a TPU-rbg
+    training run crashed with 'Custom dataclass node type mismatch')."""
+    import flax.struct
+    import jax
+    import jax.numpy as jnp
+
+    @flax.struct.dataclass
+    class MiniState:
+        params: dict
+        rng: jax.Array
+        step: jax.Array
+
+    state = MiniState(params={"w": jnp.full((2, 3), 5.0)},
+                      rng=jax.random.key(3, impl="rbg"),
+                      step=jnp.asarray(11, jnp.int32))
+    save_checkpoint(tmp_path, state, name="dc")
+
+    target = MiniState(params={"w": jnp.zeros((2, 3))},
+                       rng=jax.random.key(0, impl="threefry2x32"),
+                       step=jnp.asarray(0, jnp.int32))
+    restored = restore_checkpoint(tmp_path, target, name="dc")
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.full((2, 3), 5.0))
+    assert int(restored.step) == 11

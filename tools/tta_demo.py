@@ -42,6 +42,9 @@ def shift_images(imgs: np.ndarray) -> np.ndarray:
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--root", required=True)
+    ap.add_argument("--algorithm", default="Supervised",
+                    help="Supervised (image-only demo) or STiL (the "
+                         "flagship multimodal model — VERDICT r2 #4)")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--classes", type=int, default=8)
     ap.add_argument("--img-size", type=int, default=64)
@@ -49,6 +52,8 @@ def main():
     ap.add_argument("--n-train", type=int, default=2048)
     ap.add_argument("--n-test", type=int, default=512)
     ap.add_argument("--tta-steps", type=int, default=2)
+    ap.add_argument("--reuse-checkpoint", action="store_true",
+                    help="skip base training if the checkpoint exists")
     args = ap.parse_args()
 
     from stil_tta_tpu.utils import jax_setup
@@ -66,7 +71,7 @@ def main():
     logdir = root / "base"
     cfg = load_config("config_dvm_STiL", overrides=[
         "dataset=synthetic_dvm", "models=resnet18",
-        "algorithm_name=Supervised",
+        f"algorithm_name={args.algorithm}",
         f"num_classes={args.classes}", f"img_size={args.img_size}",
         f"synthetic_image_size={args.img_size + 8}",
         f"batch_size={args.batch_size}", "unlabelled_ratio=1",
@@ -80,8 +85,11 @@ def main():
         "enable_progress_bar=false", f"logdir={logdir}",
         f"tta_steps={args.tta_steps}",
     ])
-    results = evaluate(cfg)
-    print("base training:", results)
+    if args.reuse_checkpoint and (logdir / "checkpoint_best_acc").exists():
+        print("reusing existing base checkpoint")
+    else:
+        results = evaluate(cfg)
+        print("base training:", results)
 
     algo = get_algorithm(cfg.algorithm_name)(cfg, cfg.field_lengths)
     src_test = synthetic_source(
@@ -90,7 +98,8 @@ def main():
         image_size=args.img_size + 8, labelled_frac=1.0, seed=7)
     import jax
     state0 = algo.init_state(
-        jax.random.key(0),
+        jax_setup.training_key(0),  # same PRNG impl as the trainer
+                                    # (rbg on TPU) — exact-path restore
         jnp.zeros((2, args.img_size + 8, args.img_size + 8, 3)),
         jnp.asarray(src_test.tabular[:2]))
     state = restore_checkpoint(logdir, state0, name="checkpoint_best_acc")
