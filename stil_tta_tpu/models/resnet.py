@@ -195,6 +195,45 @@ class PadConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+class Dot1x1(nn.Module):
+    """1x1 conv expressed as a 2-D matmul over flattened pixel rows.
+
+    Same parameter (``kernel``, shape (1, 1, cin, cout)) at the same
+    tree path as :data:`Conv` — checkpoint/converter compatible, math
+    identical (a stride-s 1x1 conv reads x[::s, ::s] exactly).
+
+    Why: XLA's TPU conv emitter packs the batch dimension into sublanes
+    for sub-128-channel operands (``EmitAllInputFeatureInSublanes
+    OutputBatchInSublanes...``), which runs the stage-1 bottleneck 1x1
+    backward at ~2% MFU (~1.9 ms each for 17 GFLOP at the bench shape).
+    A flattened (B*H*W, cin) x (cin, cout) dot takes the standard
+    matmul path with well-tiled 2-D layouts instead.
+    """
+
+    features: int
+    strides: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", torch_kaiming_conv_init,
+                            (1, 1, cin, self.features), self.param_dtype)
+        s = self.strides
+        if s != 1:
+            x = x[:, ::s, ::s, :]
+        b, h, w, _ = x.shape
+        y = (x.astype(self.dtype).reshape(b * h * w, cin)
+             @ kernel.reshape(cin, self.features).astype(self.dtype))
+        return y.reshape(b, h, w, self.features)
+
+
+def _dot1x1_enabled():
+    import os
+    return os.environ.get("STIL_RESNET_DOT1X1", "0") == "1"
+
+
 def _conv(name, features, ksize, stride, padding, groups, dtype,
           in_real, pad_out, x):
     """Dispatch to :class:`PadConv` only when channel padding is in play
@@ -208,6 +247,10 @@ def _conv(name, features, ksize, stride, padding, groups, dtype,
         return PadConv(features=features, kernel_size=ksize, strides=stride,
                        padding=padding, real_in=in_real, pad_out=pad_out,
                        dtype=dtype, name=name)(x)
+    if (tuple(ksize) == (1, 1) and groups == 1 and padding == 0
+            and _dot1x1_enabled()):
+        return Dot1x1(features=features, strides=stride, dtype=dtype,
+                      name=name)(x)
     return Conv(features, ksize, strides=stride, padding=padding,
                 feature_group_count=groups, dtype=dtype, name=name)(x)
 
