@@ -44,24 +44,13 @@ class MIAttention(nn.Module):
         proj = Dense(dim, dtype=self.dtype, name="proj")
         proj_dropout = nn.Dropout(self.proj_drop)
 
-        b, ni = x_img.shape[:2]
-        nt, ng = x_tab.shape[1], x_glob.shape[1]
-        # One shared qkv/proj matmul over the concatenated token rows
-        # (2-D operands — see layers.Block for why), instead of three
-        # small per-stream matmuls: the projections share weights, only
-        # the attention pattern differs per stream.
-        x2 = jnp.concatenate([x_img.reshape(b * ni, dim),
-                              x_tab.reshape(b * nt, dim),
-                              x_glob.reshape(b * ng, dim)], axis=0)
-        q2, k2, v2 = jnp.split(qkv(x2), 3, axis=-1)
+        def qkv_split(x):
+            q, k, v = jnp.split(qkv(x), 3, axis=-1)
+            return tuple(_split_heads(t, self.num_heads) for t in (q, k, v))
 
-        def stream(t2, start, n):
-            rows = t2[start * b:(start + n) * b]
-            return _split_heads(rows, self.num_heads, b, n)
-
-        q_i, k_i, v_i = (stream(t, 0, ni) for t in (q2, k2, v2))
-        q_t, k_t, v_t = (stream(t, ni, nt) for t in (q2, k2, v2))
-        q_g, k_g, v_g = (stream(t, ni + nt, ng) for t in (q2, k2, v2))
+        q_i, k_i, v_i = qkv_split(x_img)
+        q_t, k_t, v_t = qkv_split(x_tab)
+        q_g, k_g, v_g = qkv_split(x_glob)
 
         need_rng = self.attn_drop > 0.0 and not deterministic
         rngs = [self.make_rng("dropout") if need_rng else None
@@ -76,22 +65,12 @@ class MIAttention(nn.Module):
         out_g, _ = scaled_attention(q_g, k_all, v_all, scale, None,
                                     self.attn_drop, deterministic, rngs[2])
 
-        o2 = jnp.concatenate([_merge_heads(out_i, flat=True),
-                              _merge_heads(out_t, flat=True),
-                              _merge_heads(out_g, flat=True)], axis=0)
-        o2 = proj(o2)
-        if self.proj_drop > 0.0 and not deterministic:
-            # per-stream dropout draws (one rng per call, like the
-            # reference's three module calls)
-            outs = []
-            for start, n in ((0, ni), (ni, nt), (ni + nt, ng)):
-                o = o2[start * b:(start + n) * b]
-                o = proj_dropout(o, deterministic=deterministic)
-                outs.append(o.reshape(b, n, dim))
-            return tuple(outs)
-        return (o2[:b * ni].reshape(b, ni, dim),
-                o2[b * ni:b * (ni + nt)].reshape(b, nt, dim),
-                o2[b * (ni + nt):].reshape(b, ng, dim))
+        outs = []
+        for o in (out_i, out_t, out_g):
+            o = proj(_merge_heads(o))
+            o = proj_dropout(o, deterministic=deterministic)
+            outs.append(o)
+        return tuple(outs)
 
 
 class MITransformerLayer(nn.Module):
@@ -128,34 +107,10 @@ class MITransformerLayer(nn.Module):
 
         a_i, a_t, a_g = attn(norm1(x_img), norm1(x_tab), norm1(x_glob),
                              deterministic=deterministic)
-        stochastic = not deterministic and (
-            self.drop_path > 0.0)
-        if stochastic:
-            # reference rng-draw order: six separate DropPath draws plus
-            # three Mlp dropout calls — keep the per-stream form
-            x_img = x_img + dp(a_i)
-            x_tab = x_tab + dp(a_t)
-            x_glob = x_glob + dp(a_g)
-            x_img = x_img + dp(mlp(norm2(x_img),
-                                   deterministic=deterministic))
-            x_tab = x_tab + dp(mlp(norm2(x_tab),
-                                   deterministic=deterministic))
-            x_glob = x_glob + dp(mlp(norm2(x_glob),
-                                     deterministic=deterministic))
-            return x_img, x_tab, x_glob
-        # fast path: one flat residual + norm2 + shared-MLP pass over
-        # the concatenated token rows (identical math; the MLP and
-        # norms are shared across streams by construction)
-        b, ni = x_img.shape[:2]
-        nt, ng = x_tab.shape[1], x_glob.shape[1]
-        x2 = jnp.concatenate([x_img.reshape(b * ni, dim),
-                              x_tab.reshape(b * nt, dim),
-                              x_glob.reshape(b * ng, dim)], axis=0)
-        a2 = jnp.concatenate([a_i.reshape(b * ni, dim),
-                              a_t.reshape(b * nt, dim),
-                              a_g.reshape(b * ng, dim)], axis=0)
-        x2 = x2 + a2
-        x2 = x2 + mlp(norm2(x2), deterministic=deterministic)
-        return (x2[:b * ni].reshape(b, ni, dim),
-                x2[b * ni:b * (ni + nt)].reshape(b, nt, dim),
-                x2[b * (ni + nt):].reshape(b, ng, dim))
+        x_img = x_img + dp(a_i)
+        x_tab = x_tab + dp(a_t)
+        x_glob = x_glob + dp(a_g)
+        x_img = x_img + dp(mlp(norm2(x_img), deterministic=deterministic))
+        x_tab = x_tab + dp(mlp(norm2(x_tab), deterministic=deterministic))
+        x_glob = x_glob + dp(mlp(norm2(x_glob), deterministic=deterministic))
+        return x_img, x_tab, x_glob

@@ -229,9 +229,29 @@ class Dot1x1(nn.Module):
         return y.reshape(b, h, w, self.features)
 
 
-def _dot1x1_enabled():
+class ConvDotBwd1x1(nn.Module):
+    """1x1 conv: conv forward (keeps XLA's conv/BN-stat fusions) with a
+    flattened-matmul backward (``ops.conv1x1``). Same param tree as
+    :data:`Conv`."""
+
+    features: int
+    strides: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from stil_tta_tpu.ops.conv1x1 import conv1x1_dotbwd
+        cin = x.shape[-1]
+        kernel = self.param("kernel", torch_kaiming_conv_init,
+                            (1, 1, cin, self.features), self.param_dtype)
+        return conv1x1_dotbwd(x.astype(self.dtype),
+                              kernel.astype(self.dtype), self.strides)
+
+
+def _dot1x1_mode():
     import os
-    return os.environ.get("STIL_RESNET_DOT1X1", "0") == "1"
+    return os.environ.get("STIL_RESNET_DOT1X1", "0")
 
 
 def _conv(name, features, ksize, stride, padding, groups, dtype,
@@ -247,10 +267,14 @@ def _conv(name, features, ksize, stride, padding, groups, dtype,
         return PadConv(features=features, kernel_size=ksize, strides=stride,
                        padding=padding, real_in=in_real, pad_out=pad_out,
                        dtype=dtype, name=name)(x)
-    if (tuple(ksize) == (1, 1) and groups == 1 and padding == 0
-            and _dot1x1_enabled()):
-        return Dot1x1(features=features, strides=stride, dtype=dtype,
-                      name=name)(x)
+    if tuple(ksize) == (1, 1) and groups == 1 and padding == 0:
+        mode = _dot1x1_mode()
+        if mode == "1":
+            return Dot1x1(features=features, strides=stride, dtype=dtype,
+                          name=name)(x)
+        if mode == "bwd":
+            return ConvDotBwd1x1(features=features, strides=stride,
+                                 dtype=dtype, name=name)(x)
     return Conv(features, ksize, strides=stride, padding=padding,
                 feature_group_count=groups, dtype=dtype, name=name)(x)
 
