@@ -387,6 +387,13 @@ def _space_to_depth_conv1(x, kernel, dtype):
             q, bb = divmod(dj - 3 + 4, 2)
             kp = kp.at[p, q, a, bb].set(kernel[di, dj])
     kp = kp.reshape(4, 4, 4 * c, o)
+    # NOTE: the stem's weight-grad fusion re-reads xs once per tap
+    # (~1.45 ms/step, ~16x minimal traffic). A pallas kernel stacking
+    # the 16 tap views into one (rows, 192)x(rows, 64) contraction was
+    # attempted in round 3 but Mosaic cannot lower the misaligned
+    # 12-channel lane concatenate ("result/input offset mismatch on
+    # non-concat dimension"); per-tap dots run the MXU at M=12 and
+    # model out slower than XLA. Left to the conv emitter.
     return jax.lax.conv_general_dilated(
         xs.astype(dtype), kp.astype(dtype), window_strides=(1, 1),
         padding=((2, 1), (2, 1)),
