@@ -145,9 +145,14 @@ def main():
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops_per_step = float(ca["flops"])
+        # bf16 peak FLOP/s by device kind. NB v5e is 197 TFLOP/s bf16
+        # (394 is its *int8* TOPS — a 2x MFU error in earlier rounds);
+        # calibration: a dead-code-proof chained 8192^3 bf16 matmul
+        # sustains 144 TFLOP/s = 73% of 197 on this chip
+        # (docs/BENCHMARKS.md round-3 calibration note).
         kind = jax.devices()[0].device_kind.lower()
         peak = None
-        for tag, p in (("v5 lite", 394e12), ("v5e", 394e12),
+        for tag, p in (("v5 lite", 197e12), ("v5e", 197e12),
                        ("v5p", 459e12), ("v4", 275e12), ("v6", 918e12)):
             if tag in kind:
                 peak = p

@@ -35,7 +35,14 @@ class MIAttention(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x_img, x_tab, x_glob, deterministic: bool = True):
+    def __call__(self, x_img, x_tab, x_glob, deterministic: bool = True,
+                 seq_shapes=None):
+        """Inputs are either 3-D ``(B, N, C)`` (``seq_shapes=None``) or
+        2-D ``(B*N, C)`` rows with ``seq_shapes=[(B, N_img), (B, N_tab),
+        (B, N_glob)]``; outputs mirror the input form. The 2-D form
+        exists for layout reasons (see :class:`~.layers.Block`): every
+        dense runs on flattened rows, the head split/merge is the only
+        place the per-stream sequence structure appears."""
         dim = x_img.shape[-1]
         head_dim = dim // self.num_heads
         scale = head_dim ** -0.5
@@ -44,13 +51,20 @@ class MIAttention(nn.Module):
         proj = Dense(dim, dtype=self.dtype, name="proj")
         proj_dropout = nn.Dropout(self.proj_drop)
 
-        def qkv_split(x):
-            q, k, v = jnp.split(qkv(x), 3, axis=-1)
-            return tuple(_split_heads(t, self.num_heads) for t in (q, k, v))
+        flat_io = seq_shapes is not None
+        if not flat_io:
+            seq_shapes = [x.shape[:2] for x in (x_img, x_tab, x_glob)]
+            x_img, x_tab, x_glob = (
+                x.reshape(-1, dim) for x in (x_img, x_tab, x_glob))
 
-        q_i, k_i, v_i = qkv_split(x_img)
-        q_t, k_t, v_t = qkv_split(x_tab)
-        q_g, k_g, v_g = qkv_split(x_glob)
+        def qkv_split(x, bn):
+            q, k, v = jnp.split(qkv(x), 3, axis=-1)
+            return tuple(_split_heads(t, self.num_heads, *bn)
+                         for t in (q, k, v))
+
+        q_i, k_i, v_i = qkv_split(x_img, seq_shapes[0])
+        q_t, k_t, v_t = qkv_split(x_tab, seq_shapes[1])
+        q_g, k_g, v_g = qkv_split(x_glob, seq_shapes[2])
 
         need_rng = self.attn_drop > 0.0 and not deterministic
         rngs = [self.make_rng("dropout") if need_rng else None
@@ -66,10 +80,10 @@ class MIAttention(nn.Module):
                                     self.attn_drop, deterministic, rngs[2])
 
         outs = []
-        for o in (out_i, out_t, out_g):
-            o = proj(_merge_heads(o))
+        for o, (b, n) in zip((out_i, out_t, out_g), seq_shapes):
+            o = proj(_merge_heads(o, flat=True))
             o = proj_dropout(o, deterministic=deterministic)
-            outs.append(o)
+            outs.append(o if flat_io else o.reshape(b, n, dim))
         return tuple(outs)
 
 
@@ -99,18 +113,31 @@ class MITransformerLayer(nn.Module):
         attn = MIAttention(self.num_heads, self.qkv_bias, self.attn_drop,
                            self.proj_drop, dtype=self.dtype, name="attn")
 
-        def dp(t):
+        # 2-D rows throughout (layout, see layers.Block): flatten each
+        # stream once; the attention handles head split/merge per stream.
+        seq_shapes = [x.shape[:2] for x in (x_img, x_tab, x_glob)]
+        x_img, x_tab, x_glob = (x.reshape(-1, dim)
+                                for x in (x_img, x_tab, x_glob))
+
+        def dp(t, bn):
             if self.drop_path == 0.0 or deterministic:
                 return t
-            return drop_path(t, self.drop_path, deterministic,
-                             self.make_rng("dropout"))
+            # per-SAMPLE stochastic depth: mask over b, broadcast over n
+            t3 = drop_path(t.reshape(*bn, dim), self.drop_path,
+                           deterministic, self.make_rng("dropout"))
+            return t3.reshape(-1, dim)
 
         a_i, a_t, a_g = attn(norm1(x_img), norm1(x_tab), norm1(x_glob),
-                             deterministic=deterministic)
-        x_img = x_img + dp(a_i)
-        x_tab = x_tab + dp(a_t)
-        x_glob = x_glob + dp(a_g)
-        x_img = x_img + dp(mlp(norm2(x_img), deterministic=deterministic))
-        x_tab = x_tab + dp(mlp(norm2(x_tab), deterministic=deterministic))
-        x_glob = x_glob + dp(mlp(norm2(x_glob), deterministic=deterministic))
-        return x_img, x_tab, x_glob
+                             deterministic=deterministic,
+                             seq_shapes=seq_shapes)
+        x_img = x_img + dp(a_i, seq_shapes[0])
+        x_tab = x_tab + dp(a_t, seq_shapes[1])
+        x_glob = x_glob + dp(a_g, seq_shapes[2])
+        x_img = x_img + dp(mlp(norm2(x_img), deterministic=deterministic),
+                           seq_shapes[0])
+        x_tab = x_tab + dp(mlp(norm2(x_tab), deterministic=deterministic),
+                           seq_shapes[1])
+        x_glob = x_glob + dp(mlp(norm2(x_glob), deterministic=deterministic),
+                             seq_shapes[2])
+        return tuple(x.reshape(*bn, dim) for x, bn in
+                     zip((x_img, x_tab, x_glob), seq_shapes))

@@ -25,10 +25,20 @@ def make_scan_train_step(jitted_step, k: int):
             il, iu = idx
             return body(s, cache_l, cache_u, il, iu, epoch), None
 
-        state, _ = jax.lax.scan(f, state, (idx_l_k, idx_u_k))
+        state, _ = jax.lax.scan(f, state, (idx_l_k, idx_u_k),
+                                unroll=_scan_unroll())
         return state
 
     return jax.jit(scan_fn, donate_argnums=(0,))
+
+
+def _scan_unroll() -> int:
+    """Steps unrolled per while-loop iteration (STIL_SCAN_UNROLL,
+    default 1). >1 lets XLA software-pipeline across step boundaries at
+    the cost of a proportionally larger program; measured neutral at the
+    bench shape (docs/BENCHMARKS.md) so the default stays 1."""
+    import os
+    return int(os.environ.get("STIL_SCAN_UNROLL", "1"))
 
 
 def make_scan_stream_step(jitted_step, k: int):
