@@ -1,0 +1,228 @@
+"""Additional test-time-adaptation strategies: EATA and SAR.
+
+Beyond the reference's scope (its TTA hook is an unimplemented TODO,
+``/root/reference/models/Disentangle/STiLModel.py:523-524``): two
+well-established entropy-based TTA methods, implemented TPU-style —
+fixed-shape jitted steps, masking instead of boolean indexing, state
+threaded functionally.
+
+- ``eata`` — Efficient Anti-forgetting Test-time Adaptation (Niu et
+  al., ICML 2022): entropy minimisation restricted to *reliable*
+  (low-entropy) and *non-redundant* (prediction differs from a running
+  mean) samples, with per-sample weights ``exp(E0 - e)``, plus an
+  optional Fisher-weighted anchor to the source parameters
+  (``tta_fisher_alpha > 0``; 0 = the paper's "ETA" ablation).
+- ``sar`` — Sharpness-Aware and Reliable entropy minimisation (Niu et
+  al., ICLR 2023): the reliable-sample filter + a SAM two-step update
+  (ascend along the gradient, descend from the perturbed point) on the
+  BN affine parameters, with the paper's model-recovery reset when the
+  smoothed entropy loss collapses below ``tta_reset_constant``.
+
+Both run after the shared BN-statistics re-estimation phase
+(``tent.estimate_bn_stats``); adaptation itself uses eval-mode BN with
+the re-estimated statistics — the same design as our Tent (the official
+implementations instead leave BN in batch-stat mode; re-estimated
+running stats are equivalent in expectation and keep the jitted step
+deterministic).
+
+Config knobs (None -> defaults): ``tta_lr``, ``tta_steps``,
+``tta_e_margin_scale`` (0.4, margin = scale * ln(num_classes)),
+``tta_d_margin`` (0.05), ``tta_fisher_alpha`` (0.0),
+``tta_fisher_samples`` (2000), ``tta_sam_rho`` (0.05),
+``tta_reset_constant`` (0.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stil_tta_tpu.data.loader import EpochSampler
+from stil_tta_tpu.tta.tent import bn_param_mask, entropy
+
+
+def _masked_tx(lr, mask, not_mask):
+    return optax.chain(optax.masked(optax.adam(lr), mask),
+                       optax.masked(optax.set_to_zero(), not_mask))
+
+
+def _common(cfg, algo, state, cache):
+    net, aug = algo.net, algo.aug_eval
+    n = int(np.asarray(cache["labels"]).shape[0])
+    sampler = EpochSampler(n, int(cfg.batch_size), shuffle=True,
+                           drop_last=False, seed=0)
+    mask = bn_param_mask(state.params)
+    not_mask = jax.tree_util.tree_map(lambda m: not m, mask)
+    num_classes = int(cfg.num_classes)
+    e_margin = (float(cfg.tta_e_margin_scale or 0.4)
+                * float(np.log(num_classes)))
+
+    def logits_fn(params, images, tabular):
+        imgs = aug(jax.random.key(0), images)
+        outs = net.apply({"params": params,
+                          "batch_stats": state.batch_stats},
+                         imgs, tabular, train=False)
+        return outs["out_m"].astype(jnp.float32)
+
+    def batches():
+        for idx, _ in sampler.epoch():
+            yield (jnp.take(cache["images"], jnp.asarray(idx), 0),
+                   jnp.take(cache["tabular"], jnp.asarray(idx), 0))
+
+    return logits_fn, batches, mask, not_mask, e_margin, num_classes
+
+
+def eata_adapt(cfg, algo, state, cache):
+    """EATA phase 2 (after BN-stat re-estimation)."""
+    logits_fn, batches, mask, not_mask, e_margin, num_classes = _common(
+        cfg, algo, state, cache)
+    d_margin = float(cfg.tta_d_margin or 0.05)
+    fisher_alpha = float(cfg.tta_fisher_alpha or 0.0)
+    tx = _masked_tx(float(cfg.tta_lr or 1e-4), mask, not_mask)
+    opt_state = tx.init(state.params)
+    params0 = state.params
+
+    # Optional anti-forgetting anchor: diagonal Fisher of the
+    # pseudo-label CE on the (first ``tta_fisher_samples`` of the) test
+    # cache, evaluated at the source parameters — EATA eq. (1)/(2).
+    fisher = None
+    if fisher_alpha > 0.0:
+        budget = int(cfg.tta_fisher_samples or 2000)
+
+        @jax.jit
+        def fisher_step(params, images, tabular):
+            def ce(p):
+                logits = logits_fn(p, images, tabular)
+                labels = jnp.argmax(jax.lax.stop_gradient(logits), axis=1)
+                logp = jax.nn.log_softmax(logits)
+                return -jnp.mean(
+                    jnp.take_along_axis(logp, labels[:, None], 1))
+            g = jax.grad(ce)(params)
+            return jax.tree_util.tree_map(lambda t: t * t, g)
+
+        acc = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        seen = used = 0
+        for images, tabular in batches():
+            sq = fisher_step(state.params, images, tabular)
+            acc = jax.tree_util.tree_map(jnp.add, acc, sq)
+            used += 1
+            seen += int(images.shape[0])
+            if seen >= budget:
+                break
+        fisher = jax.tree_util.tree_map(lambda t: t / max(used, 1), acc)
+
+    @jax.jit
+    def eata_step(params, opt_state, probs_ema, ema_valid, images, tabular):
+        def loss_fn(p):
+            logits = logits_fn(p, images, tabular)
+            logp = jax.nn.log_softmax(logits)
+            probs = jnp.exp(logp)
+            ent = -jnp.sum(probs * logp, axis=-1)
+            reliable = ent < e_margin
+            # redundancy filter: cosine similarity of the prediction to
+            # the running mean of previously-adapted predictions
+            cos = (jnp.sum(probs * probs_ema[None, :], axis=-1)
+                   / (jnp.linalg.norm(probs, axis=-1)
+                      * jnp.linalg.norm(probs_ema) + 1e-12))
+            novel = jnp.where(ema_valid > 0, jnp.abs(cos) < d_margin, True)
+            sel = reliable & novel
+            w = jnp.exp(e_margin - ent) * sel
+            loss = jnp.sum(ent * w) / jnp.maximum(jnp.sum(sel), 1)
+            if fisher is not None:
+                anchors = jax.tree_util.tree_map(
+                    lambda f, a, b: jnp.sum(f * (a - b) ** 2),
+                    fisher, p, params0)
+                loss = loss + fisher_alpha * sum(
+                    jax.tree_util.tree_leaves(anchors))
+            return loss, (probs, sel)
+
+        grads, (probs, sel) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # running mean of selected predictions (0.9/0.1 EMA, held when
+        # a batch selects nothing)
+        nsel = jnp.sum(sel)
+        batch_mean = (jnp.sum(probs * sel[:, None], axis=0)
+                      / jnp.maximum(nsel, 1))
+        new_ema = jnp.where(
+            ema_valid > 0, 0.9 * probs_ema + 0.1 * batch_mean, batch_mean)
+        probs_ema = jnp.where(nsel > 0, new_ema, probs_ema)
+        ema_valid = jnp.maximum(ema_valid, (nsel > 0).astype(jnp.int32))
+        return params, new_opt, probs_ema, ema_valid
+
+    params = state.params
+    probs_ema = jnp.zeros((num_classes,), jnp.float32)
+    ema_valid = jnp.asarray(0, jnp.int32)
+    for _ in range(int(cfg.tta_steps or 1)):
+        for images, tabular in batches():
+            params, opt_state, probs_ema, ema_valid = eata_step(
+                params, opt_state, probs_ema, ema_valid, images, tabular)
+    return dataclasses.replace(state, params=params)
+
+
+def sar_adapt(cfg, algo, state, cache):
+    """SAR phase 2 (after BN-stat re-estimation)."""
+    logits_fn, batches, mask, not_mask, e_margin, _ = _common(
+        cfg, algo, state, cache)
+    rho = float(cfg.tta_sam_rho or 0.05)
+    reset_constant = float(cfg.tta_reset_constant or 0.2)
+    tx = _masked_tx(float(cfg.tta_lr or 1e-4), mask, not_mask)
+    params0, opt_state0 = state.params, None  # opt reset = tx.init
+
+    def filtered_entropy(p, images, tabular, sel_in=None):
+        logits = logits_fn(p, images, tabular)
+        logp = jax.nn.log_softmax(logits)
+        probs = jnp.exp(logp)
+        ent = -jnp.sum(probs * logp, axis=-1)
+        sel = (ent < e_margin) if sel_in is None else sel_in
+        loss = jnp.sum(ent * sel) / jnp.maximum(jnp.sum(sel), 1)
+        return loss, (ent, sel)
+
+    @jax.jit
+    def sar_step(params, opt_state, ema_loss, ema_valid, images, tabular):
+        # first step: ascend to the sharpness point along the masked grad
+        (_, (_, sel)), g1 = jax.value_and_grad(
+            filtered_entropy, has_aux=True)(params, images, tabular)
+        g1 = jax.tree_util.tree_map(
+            lambda g, m: g if m else jnp.zeros_like(g), g1, mask)
+        gnorm = optax.global_norm(g1)
+        perturbed = jax.tree_util.tree_map(
+            lambda p, g: p + rho * g / (gnorm + 1e-12), params, g1)
+        # second step: descend from the perturbed point, re-filtering on
+        # the perturbed entropies (SAR's filter_ids_2)
+        def second(p):
+            loss2, (ent2, _) = filtered_entropy(p, images, tabular,
+                                                sel_in=sel)
+            sel2 = sel & (ent2 < e_margin)
+            loss2 = jnp.sum(ent2 * sel2) / jnp.maximum(jnp.sum(sel2), 1)
+            return loss2
+
+        loss2, g2 = jax.value_and_grad(second)(perturbed)
+        updates, new_opt = tx.update(g2, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_ema = jnp.where(ema_valid > 0,
+                            0.9 * ema_loss + 0.1 * loss2, loss2)
+        ok = jnp.isfinite(loss2) & (jnp.sum(sel) > 0)
+        ema_loss = jnp.where(ok, new_ema, ema_loss)
+        ema_valid = jnp.maximum(ema_valid, ok.astype(jnp.int32))
+        return params, new_opt, ema_loss, ema_valid
+
+    params, opt_state = state.params, tx.init(state.params)
+    ema_loss = jnp.asarray(0.0, jnp.float32)
+    ema_valid = jnp.asarray(0, jnp.int32)
+    for _ in range(int(cfg.tta_steps or 1)):
+        for images, tabular in batches():
+            params, opt_state, ema_loss, ema_valid = sar_step(
+                params, opt_state, ema_loss, ema_valid, images, tabular)
+            # model recovery (paper §3.3): a collapsed, uniformly
+            # confident model drives the smoothed loss toward zero —
+            # reset parameters and optimizer and keep adapting
+            if int(ema_valid) > 0 and float(ema_loss) < reset_constant:
+                params, opt_state = params0, tx.init(params0)
+                ema_loss = jnp.asarray(0.0, jnp.float32)
+                ema_valid = jnp.asarray(0, jnp.int32)
+    return dataclasses.replace(state, params=params)

@@ -12,9 +12,12 @@ This module implements it, TPU-style (everything jitted, state threaded):
   normalisation affine parameters only (Wang et al., ICLR 2021 — "Tent:
   fully test-time adaptation by entropy minimization"), after a
   bn_adapt pass.
+- ``eata`` / ``sar``: sample-filtered and sharpness-aware variants
+  (see ``stil_tta_tpu/tta/methods.py``).
 
-Strategy and knobs via config: ``tta_strategy`` ('tent' | 'bn_adapt'),
-``tta_lr``, ``tta_steps``, ``tta_momentum``.
+Strategy and knobs via config: ``tta_strategy``
+('tent' | 'bn_adapt' | 'eata' | 'sar'), ``tta_lr``, ``tta_steps``,
+``tta_momentum`` (+ the eata/sar knobs in methods.py).
 """
 
 from __future__ import annotations
@@ -50,6 +53,20 @@ def entropy(probs: jax.Array) -> jax.Array:
 def adapt(cfg, algo, state, cache):
     """Adapt ``state`` on the (unlabeled) test cache; returns new state."""
     strategy = cfg.tta_strategy or "tent"
+    if strategy in ("eata", "sar"):
+        from stil_tta_tpu.tta import methods
+        state = estimate_bn_stats(cfg, algo, state, cache)
+        return (methods.eata_adapt if strategy == "eata"
+                else methods.sar_adapt)(cfg, algo, state, cache)
+    state = estimate_bn_stats(cfg, algo, state, cache)
+    if strategy == "bn_adapt":
+        return state
+    return _tent_phase(cfg, algo, state, cache)
+
+
+def estimate_bn_stats(cfg, algo, state, cache):
+    """Phase 1 of every strategy: BN-statistics re-estimation on the
+    shifted test cache (one momentum sweep)."""
     batch_size = int(cfg.batch_size)
     momentum = float(cfg.tta_momentum or 0.1)
     net = algo.net
@@ -89,11 +106,18 @@ def adapt(cfg, algo, state, cache):
     for idx, _ in sampler.epoch():
         bs = stats_step(bs, jnp.take(cache["images"], jnp.asarray(idx), 0),
                         jnp.take(cache["tabular"], jnp.asarray(idx), 0))
-    state = dataclasses.replace(state, batch_stats=bs)
-    if strategy == "bn_adapt":
-        return state
+    return dataclasses.replace(state, batch_stats=bs)
 
+
+def _tent_phase(cfg, algo, state, cache):
     # ---- phase 2: Tent — entropy minimisation over BN affine params
+    batch_size = int(cfg.batch_size)
+    net = algo.net
+    aug = algo.aug_eval
+    n = int(np.asarray(cache["labels"]).shape[0])
+    bs = state.batch_stats
+    sampler = EpochSampler(n, batch_size, shuffle=True, drop_last=False,
+                           seed=0)
     lr = float(cfg.tta_lr or 1e-3)
     steps = int(cfg.tta_steps or 1)
     mask = bn_param_mask(state.params)

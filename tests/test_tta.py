@@ -61,3 +61,83 @@ def test_entropy_definition():
     e = np.asarray(entropy(p))
     np.testing.assert_allclose(e[0], np.log(2), rtol=1e-5)
     np.testing.assert_allclose(e[1], 0.0, atol=1e-6)
+
+
+def test_eata_changes_only_bn_affine_and_respects_margin():
+    cfg, algo, state, cache = _setup("eata")
+    # an untrained model predicts near-uniformly: entropy sits above the
+    # paper's 0.4*ln(C) margin and cos-to-mean near 1, so the faithful
+    # filters select nothing. Open them up to exercise the update path.
+    cfg.tta_e_margin_scale = 2.0
+    cfg.tta_d_margin = 2.0
+    new_state = adapt(cfg, algo, state, cache)
+    mask = bn_param_mask(state.params)
+    changed_bn = []
+    for (path, old), (_, new), (_, m) in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree_util.tree_flatten_with_path(new_state.params)[0],
+            jax.tree_util.tree_flatten_with_path(mask)[0]):
+        equal = np.array_equal(np.asarray(old), np.asarray(new))
+        if not m:
+            assert equal, f"non-BN param changed: {path}"
+        else:
+            changed_bn.append(not equal)
+    assert any(changed_bn), "no BN affine param changed"
+
+    # a zero entropy margin selects no samples -> params untouched
+    cfg.tta_e_margin_scale = 0.0
+    frozen = adapt(cfg, algo, state, cache)
+    same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        state.params, frozen.params))
+    assert same, "eata updated params with an empty selection"
+
+
+def test_eata_fisher_anchor_shrinks_drift():
+    cfg, algo, state, cache = _setup("eata")
+    cfg.tta_e_margin_scale = 2.0
+    cfg.tta_d_margin = 2.0
+    cfg.tta_steps = 2
+    free = adapt(cfg, algo, state, cache)
+    cfg.tta_fisher_alpha = 1e6  # enormous anchor -> near-frozen params
+    anchored = adapt(cfg, algo, state, cache)
+
+    def drift(a, b):
+        return float(sum(
+            np.sum((np.asarray(x) - np.asarray(y)) ** 2)
+            for x, y in zip(jax.tree_util.tree_leaves(a),
+                            jax.tree_util.tree_leaves(b))))
+
+    assert drift(anchored.params, state.params) < drift(free.params,
+                                                        state.params)
+
+
+def test_sar_changes_only_bn_affine():
+    cfg, algo, state, cache = _setup("sar")
+    cfg.tta_e_margin_scale = 2.0  # see the eata test: open the filter
+    new_state = adapt(cfg, algo, state, cache)
+    mask = bn_param_mask(state.params)
+    changed_bn = []
+    for (path, old), (_, new), (_, m) in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree_util.tree_flatten_with_path(new_state.params)[0],
+            jax.tree_util.tree_flatten_with_path(mask)[0]):
+        equal = np.array_equal(np.asarray(old), np.asarray(new))
+        if not m:
+            assert equal, f"non-BN param changed: {path}"
+        else:
+            changed_bn.append(not equal)
+    assert any(changed_bn), "no BN affine param changed"
+
+
+def test_sar_reset_on_collapsed_entropy():
+    # an enormous reset constant forces the recovery path every batch:
+    # adaptation must return the source parameters untouched
+    cfg, algo, state, cache = _setup("sar")
+    cfg.tta_e_margin_scale = 2.0
+    cfg.tta_reset_constant = 1e9
+    new_state = adapt(cfg, algo, state, cache)
+    same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        state.params, new_state.params))
+    assert same, "sar did not reset to source params"

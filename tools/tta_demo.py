@@ -122,14 +122,16 @@ def main():
            "shift_no_tta": score(shift_cache, state, "shifted, no TTA")}
 
     from stil_tta_tpu.tta import adapt
-    for strategy in ("bn_adapt", "tent"):
+    strategies = ("bn_adapt", "tent", "eata", "sar")
+    for strategy in strategies:
         cfg.tta_strategy = strategy
         st = adapt(cfg, algo, state, shift_cache)
         out[f"shift_{strategy}"] = score(shift_cache, st,
                                          f"shifted, {strategy}")
 
-    out["recovered_bn"] = out["shift_bn_adapt"] - out["shift_no_tta"]
-    out["recovered_tent"] = out["shift_tent"] - out["shift_no_tta"]
+    for strategy in strategies:
+        out[f"recovered_{strategy}"] = (out[f"shift_{strategy}"]
+                                        - out["shift_no_tta"])
     print(json.dumps(out, indent=2))
     (root / "tta_demo.json").write_text(json.dumps(out, indent=2))
     return 0
