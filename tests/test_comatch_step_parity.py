@@ -51,12 +51,12 @@ HIST_FILL = 3     # DA history rows already present
 
 
 def torch_comatch_step(tm, ema, img_x, img_u, y_l, qs, pu, qw, pxu,
-                       ptr_s, ptr_w, hist):
-    """One reference CoMatch training step + SGD(LR) update. Returns
-    (logs, queues...); mutates tm/ema in place."""
+                       ptr_s, ptr_w, hist, lr=LR):
+    """One reference CoMatch training step + SGD(lr) update. Returns
+    (logs, queues..., hist); mutates tm/ema in place."""
     tm.train()
     ema.train()  # the reference never switches the momentum encoder
-    opt = torch.optim.SGD(tm.parameters(), lr=LR)
+    opt = torch.optim.SGD(tm.parameters(), lr=lr)
 
     img_u_w, img_u_s0 = img_u, img_u
     img_u_s1 = torch.flip(img_u, dims=[3])
@@ -139,7 +139,7 @@ def torch_comatch_step(tm, ema, img_x, img_u, y_l, qs, pu, qw, pxu,
     return ({"loss": f(loss), "loss_x": f(loss_x), "loss_u": f(loss_u),
              "loss_contrast": f(loss_contrast),
              "threshold1_ratio": float(mask.mean())},
-            qs, pu, qw, pxu, ptr_s, ptr_w, hist[-1])
+            qs, pu, qw, pxu, ptr_s, ptr_w, hist)
 
 
 def test_comatch_train_step_golden_vs_torch():
@@ -233,12 +233,13 @@ def test_comatch_train_step_golden_vs_torch():
 
     # ---- torch twin ---------------------------------------------------
     t = lambda a: torch.tensor(np.asarray(a))
-    logs, qs_t, pu_t, qw_t, pxu_t, ptr_s_t, ptr_w_t, da_row = \
+    logs, qs_t, pu_t, qw_t, pxu_t, ptr_s_t, ptr_w_t, hist_t = \
         torch_comatch_step(
             tm, ema, t(img_x.transpose(0, 3, 1, 2)),
             t(img_u.transpose(0, 3, 1, 2)), t(y_l),
             t(qs0), t(pu0), t(qw0), t(pxu0), PTR_S, PTR_W,
             [t(h) for h in hist0])
+    da_row = hist_t[-1]
 
     # losses / mask ratio
     ours = {k: float(v) for k, v in new_state.log_sums.items()}
@@ -297,3 +298,160 @@ def test_comatch_train_step_golden_vs_torch():
     rel = np.linalg.norm(ga - gb) / max(np.linalg.norm(gb), 1e-8)
     assert np.linalg.norm(gb) > 1e-3
     assert rel < 0.02, rel
+
+
+def test_comatch_three_step_state_trajectory_vs_torch():
+    """3-step state-machine trajectory vs the torch twin at lr=0: with
+    params frozen, every source of cross-impl float drift except the
+    buffer dynamics vanishes, isolating exactly the state the reference
+    threads across steps — both ring queues (each pointer wraps the K
+    boundary twice), the DA history growth, the momentum-encoder lerp
+    compounding, and the student's BN running-stat accumulation. The
+    1-step test above covers losses/gradients; this one proves the
+    step-to-step threading doesn't silently diverge."""
+    steps = 3
+    torch.manual_seed(3)
+    tm = TSimMatchNet()
+    torch.manual_seed(7)
+    ema = TSimMatchNet()
+    with torch.no_grad():
+        for net in (tm, ema):
+            for mod in net.modules():
+                if isinstance(mod, nn.BatchNorm2d):
+                    mod.running_mean.normal_(0, 0.05)
+                    mod.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.RandomState(21)
+    img_x = rng.rand(steps * B_L, IMG, IMG, 3).astype(np.float32)
+    y_l = rng.randint(0, NCLS, steps * B_L).astype(np.int64)
+    img_u = rng.rand(steps * B_U, IMG, IMG, 3).astype(np.float32)
+    norm_cols = lambda m: m / np.linalg.norm(m, axis=0, keepdims=True)
+    qs0 = norm_cols(rng.randn(DIM, K)).astype(np.float32)
+    qw0 = rng.randn(DIM, K).astype(np.float32)
+    pu0 = rng.rand(NCLS, K).astype(np.float32)
+    pu0 /= pu0.sum(0, keepdims=True)
+    pxu0 = rng.rand(NCLS, K).astype(np.float32)
+    pxu0 /= pxu0.sum(0, keepdims=True)
+    hist0 = [rng.rand(NCLS).astype(np.float32) for _ in range(HIST_FILL)]
+    hist0 = [h / h.sum() for h in hist0]
+    PTR_S, PTR_W = 8, 6
+
+    # ---- our side -----------------------------------------------------
+    cfg = _Cfg(
+        algorithm_name="CoMatch", eval_datatype="imaging",
+        model="resnet18", num_classes=NCLS, projection_dim=DIM, K=K,
+        co_threshold=THR, contrast_th=CONTRAST_TH, lam_u=LAM_U,
+        lam_c=LAM_C_MAX, alpha=ALPHA, co_temperature=TEMP,
+        start_epoch=0, ema_momentum=MOMENTUM, use_ema=True,
+        lr_eval=0.0, weight_decay_eval=0.0, img_size=IMG,
+        eval_train_augment_rate=0.0, augmentation_rate=0.0,
+        corruption_rate=0.0, target="dvm", embedding_dropout=0.0,
+        drop_rate=0.0)
+    algo = CoMatch(cfg, [1], dtype=jnp.float32)
+    ident = lambda k, im, apply_rate=1.0: im.astype(jnp.float32)
+    algo.aug_labeled = ident
+    algo.aug_weak = ident
+    calls = []
+    def strong(k, im):
+        first = not calls
+        calls.append(1)
+        return (im if first else jnp.flip(im, axis=2)).astype(jnp.float32)
+    algo.aug_strong = strong
+    algo.tx = optax.sgd(0.0)
+
+    state = algo.init_state(jax.random.key(0),
+                            jnp.asarray(img_x[:2]),
+                            jnp.zeros((2, 1), jnp.float32))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    converted, leftovers = convert_torch_state_dict(_to_sd(tm), variables)
+    assert not leftovers, leftovers
+    conv_ema, _ = convert_torch_state_dict(_to_sd(ema), variables)
+    hist_prob0 = np.zeros((128, NCLS), np.float32)
+    hist_prob0[:HIST_FILL] = np.stack(hist0)
+    state = dataclasses.replace(
+        state, params=converted["params"],
+        batch_stats=converted["batch_stats"],
+        opt_state=algo.tx.init(converted["params"]),
+        ema_params=conv_ema["params"],
+        ema_batch_stats=conv_ema["batch_stats"],
+        extra={"queue_s": jnp.asarray(qs0), "probs_u": jnp.asarray(pu0),
+               "queue_w": jnp.asarray(qw0), "probs_xu": jnp.asarray(pxu0),
+               "ptr_s": jnp.asarray(PTR_S, jnp.int32),
+               "ptr_w": jnp.asarray(PTR_W, jnp.int32),
+               "hist_prob": jnp.asarray(hist_prob0),
+               "hist_len": jnp.asarray(HIST_FILL, jnp.int32),
+               "hist_ptr": jnp.asarray(HIST_FILL, jnp.int32)})
+
+    cache_l = {"images": jnp.asarray(img_x),
+               "tabular": jnp.zeros((steps * B_L, 1), jnp.float32),
+               "labels": jnp.asarray(y_l),
+               "labelled": jnp.ones((steps * B_L,), bool)}
+    cache_u = {"images": jnp.asarray(img_u),
+               "tabular": jnp.zeros((steps * B_U, 1), jnp.float32),
+               "labels": jnp.zeros((steps * B_U,), jnp.int32),
+               "labelled": jnp.zeros((steps * B_U,), bool)}
+    step = algo.make_train_step()
+    our_step_logs = []
+    prev = {k: 0.0 for k in algo.LOG_KEYS}
+    for s in range(steps):
+        state = step(state, cache_l, cache_u,
+                     jnp.arange(s * B_L, (s + 1) * B_L, dtype=jnp.int32),
+                     jnp.arange(s * B_U, (s + 1) * B_U, dtype=jnp.int32),
+                     jnp.asarray(EPOCH, jnp.int32))
+        sums = {k: float(v) for k, v in state.log_sums.items()}
+        our_step_logs.append({k: sums[k] - prev[k] for k in sums})
+        prev = sums
+
+    # ---- torch twin ---------------------------------------------------
+    t = lambda a: torch.tensor(np.asarray(a))
+    qs_t, pu_t, qw_t, pxu_t = t(qs0), t(pu0), t(qw0), t(pxu0)
+    ptr_s_t, ptr_w_t = PTR_S, PTR_W
+    hist_t = [t(h) for h in hist0]
+    for s in range(steps):
+        logs, qs_t, pu_t, qw_t, pxu_t, ptr_s_t, ptr_w_t, hist_t = \
+            torch_comatch_step(
+                tm, ema,
+                t(img_x[s * B_L:(s + 1) * B_L].transpose(0, 3, 1, 2)),
+                t(img_u[s * B_U:(s + 1) * B_U].transpose(0, 3, 1, 2)),
+                t(y_l[s * B_L:(s + 1) * B_L]),
+                qs_t, pu_t, qw_t, pxu_t, ptr_s_t, ptr_w_t, hist_t,
+                lr=0.0)
+        for k, v in logs.items():
+            np.testing.assert_allclose(
+                our_step_logs[s][k], v, rtol=2e-3, atol=2e-4,
+                err_msg=f"step {s} log {k}")
+
+    # ring queues after 3 steps: contents + pointers (each pointer
+    # crossed the K boundary twice along the way)
+    ex = state.extra
+    assert int(ex["ptr_s"]) == ptr_s_t
+    assert int(ex["ptr_w"]) == ptr_w_t
+    for ours_q, ref_q, name in (
+            (ex["queue_s"], qs_t, "queue_s"),
+            (ex["probs_u"], pu_t, "probs_u"),
+            (ex["queue_w"], qw_t, "queue_w"),
+            (ex["probs_xu"], pxu_t, "probs_xu")):
+        np.testing.assert_allclose(np.asarray(ours_q), ref_q.numpy(),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+    # DA history: the three new rows, length, and fill pointer
+    np.testing.assert_allclose(
+        np.asarray(ex["hist_prob"][HIST_FILL:HIST_FILL + steps]),
+        torch.stack(hist_t[-steps:]).numpy(), rtol=1e-3, atol=1e-5)
+    assert int(ex["hist_len"]) == HIST_FILL + steps
+    assert int(ex["hist_ptr"]) == HIST_FILL + steps
+
+    # momentum encoder after 3 compounding lerps toward the (frozen)
+    # student; BN stats stay at the init copy on our side
+    conv_post, _ = convert_torch_state_dict(_to_sd(ema), variables)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        state.ema_params, conv_post["params"])
+
+    # student BN running stats after 3 train-mode forwards
+    conv_student, _ = convert_torch_state_dict(_to_sd(tm), variables)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
+        state.batch_stats, conv_student["batch_stats"])
