@@ -38,6 +38,7 @@ class SemiMultimodalNet(nn.Module):
     multimodal_embedding_dim: int = 512
     tabular_num_layers: int = 4
     tabular_encoder: str = "transformer"
+    saint_ff_dropout: float = 0.8
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -50,6 +51,7 @@ class SemiMultimodalNet(nn.Module):
             multimodal_embedding_dim=self.multimodal_embedding_dim,
             tabular_num_layers=self.tabular_num_layers,
             tabular_encoder=self.tabular_encoder,
+            saint_ff_dropout=self.saint_ff_dropout,
             dtype=self.dtype, name="backbone")(image, tabular, train=train)
 
 
@@ -72,7 +74,10 @@ class MMatch(MatchBase):
             tabular_embedding_dim=int(cfg.tabular_embedding_dim),
             multimodal_embedding_dim=int(cfg.multimodal_embedding_dim),
             tabular_num_layers=int(cfg.tabular_transformer_num_layers),
-            tabular_encoder=self.tabular_encoder, dtype=dtype)
+            tabular_encoder=self.tabular_encoder,
+            saint_ff_dropout=(0.8 if cfg.saint_ff_dropout is None
+                              else float(cfg.saint_ff_dropout)),
+            dtype=dtype)
         self.multimodal = True
         self.aug_train = contrastive_pipeline(
             int(cfg.img_size), cfg.target,

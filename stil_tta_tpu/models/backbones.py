@@ -49,6 +49,10 @@ class DisCoBackbone(nn.Module):
     embedding_dropout: float = 0.0
     drop_rate: float = 0.0
     tabular_encoder: str = "transformer"  # or 'saint'
+    # reference hard-codes SAINT FF dropout 0.8
+    # (``STiLModel_SAINT_backbone.py:119``); overridable for
+    # deterministic parity tests
+    saint_ff_dropout: float = 0.8
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -62,7 +66,8 @@ class DisCoBackbone(nn.Module):
             self.encoder_tabular = SAINTEncoder(
                 cat_lengths=cat_lengths, num_continuous=len(con_lengths),
                 token_dim=32, out_dim=self.tabular_embedding_dim,
-                depth=1, heads=4, attentiontype="colrow", dtype=self.dtype)
+                depth=1, heads=4, attentiontype="colrow",
+                ff_dropout=self.saint_ff_dropout, dtype=self.dtype)
         else:
             self.encoder_tabular = TabularTransformerEncoder(
                 cat_lengths=cat_lengths, con_lengths=con_lengths,
@@ -202,6 +207,7 @@ class SemiMultimodalBackbone(nn.Module):
     embedding_dropout: float = 0.0
     drop_rate: float = 0.0
     tabular_encoder: str = "transformer"
+    saint_ff_dropout: float = 0.8  # see DisCoBackbone.saint_ff_dropout
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -212,7 +218,8 @@ class SemiMultimodalBackbone(nn.Module):
             self.encoder_tabular = SAINTEncoder(
                 cat_lengths=cat_lengths, num_continuous=len(con_lengths),
                 token_dim=32, out_dim=self.tabular_embedding_dim,
-                depth=1, heads=4, attentiontype="colrow", dtype=self.dtype)
+                depth=1, heads=4, attentiontype="colrow",
+                ff_dropout=self.saint_ff_dropout, dtype=self.dtype)
         else:
             self.encoder_tabular = TabularTransformerEncoder(
                 cat_lengths=cat_lengths, con_lengths=con_lengths,
