@@ -106,6 +106,21 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray], variables,
     new_params = {}
     for path, value in flat_params.items():
         *mods, leaf = path
+        # SAINT encoder embedded in a full-model checkpoint: the torch
+        # keys under ``...encoder_tabular.`` use the somepago/saint
+        # layout (simple_MLP stacks, PreNorm/Residual wrappers) — route
+        # through the SAINT mapping instead of the generic tree walk
+        saint_prefix, saint_rel = _saint_subpath(path)
+        if saint_prefix is not None:
+            expect = np.asarray(value)
+            v = _saint_value(saint_rel, expect,
+                             lambda k: fetch(saint_prefix + k))
+            if v.shape != expect.shape:
+                raise ValueError(
+                    f"shape mismatch at {'.'.join(path)}: torch "
+                    f"{v.shape} vs flax {expect.shape}")
+            new_params[path] = v.astype(expect.dtype)
+            continue
         base = _flax_to_torch_key(tuple(mods), leaf)
         v = None
         if leaf == "kernel":
@@ -212,6 +227,90 @@ def load_pretrained_encoders(variables, ckpt_path: str):
     return out
 
 
+def _saint_torch_key(path):
+    """Map a flax SAINTEncoder transformer-stack param path to its
+    somepago/saint torch key. Returns (torch_key, needs_transpose).
+    Stack layout: ``l{d}_{kind}`` with kind in norm/attn/ff x col/row;
+    each PreNorm(norm, Residual(fn)) wraps as ``...norm.*`` +
+    ``...fn.fn.*`` (Attention: to_qkv/to_out; GEGLU FF: net.0/net.3)."""
+    import re as _re
+    m = _re.match(r"l(\d+)_(.+)", path[-2] if len(path) >= 2
+                  else path[-1])
+    m0 = _re.match(r"l(\d+)_(.+)", path[0])
+    mm = m0 or m
+    if mm is None:
+        raise KeyError(f"unmapped SAINT leaf {'/'.join(path)}")
+    d = int(mm.group(1))
+    kind = mm.group(2)
+    slot = {"norm_col": 0, "attn_col": 0, "ff_col": 1,
+            "norm_ff_col": 1, "norm_row": 2, "attn_row": 2,
+            "ff_row": 3, "norm_ff_row": 3}[kind]
+    base = f"transformer.layers.{d}.{slot}"
+    leaf = path[-1]
+    if kind.startswith("norm"):
+        return (base + ".norm." + ("weight" if leaf == "scale"
+                                   else "bias"), False)
+    if kind.startswith("attn"):
+        sub = path[-2]  # to_qkv / to_out
+        return (f"{base}.fn.fn.{sub}." + ("weight" if leaf == "kernel"
+                                          else "bias"),
+                leaf == "kernel")
+    sub = {"fc1": "net.0", "fc2": "net.3"}[path[-2]]
+    return (f"{base}.fn.fn.{sub}." + ("weight" if leaf == "kernel"
+                                      else "bias"),
+            leaf == "kernel")
+
+
+def _saint_value(path, expect, get):
+    """Fetch one flax SAINTEncoder leaf from somepago/saint-layout torch
+    keys via ``get`` (con_mlp stacks assemble from per-column keys)."""
+    if path[-2:] == ("embeds", "embedding"):
+        return get("embeds.weight")
+    if path[-2:] == ("pos_encodings", "embedding"):
+        return get("pos_encodings.weight")
+    if path[-1].startswith("con_mlp_"):
+        ncon = expect.shape[0]
+        which = path[-1]
+        parts = []
+        for i in range(ncon):
+            if which == "con_mlp_w1":
+                parts.append(get(f"simple_MLP.{i}.layers.0.weight").T)
+            elif which == "con_mlp_b1":
+                parts.append(get(f"simple_MLP.{i}.layers.0.bias"))
+            elif which == "con_mlp_w2":
+                parts.append(get(f"simple_MLP.{i}.layers.2.weight").T)
+            else:
+                parts.append(get(f"simple_MLP.{i}.layers.2.bias"))
+        return np.stack(parts)
+    tk, transpose = _saint_torch_key(path)
+    v = get(tk)
+    return v.T if transpose else v
+
+
+_SAINT_HEADS = ("embeds", "pos_encodings")
+
+
+def _saint_subpath(path):
+    """If ``path`` addresses a leaf inside a SAINT encoder embedded in a
+    larger tree (``...encoder_tabular.<saint-leaf>``), return
+    (torch_prefix, saint_relative_path); else (None, None). SAINT leaf
+    names (embeds/pos_encodings/con_mlp_*/l{d}_*) are disjoint from the
+    TIP transformer encoder's (cat_embedding/column_embedding/block_N)."""
+    try:
+        i = list(path).index("encoder_tabular")
+    except ValueError:
+        return None, None
+    rel = tuple(path[i + 1:])
+    if not rel:
+        return None, None
+    head = rel[0]
+    if head in _SAINT_HEADS or head.startswith("con_mlp_") \
+            or re.match(r"l\d+_", head):
+        prefix = _flax_to_torch_key(tuple(path[:i + 1]), "")
+        return prefix + ".", rel
+    return None, None
+
+
 def load_saint_state_dict(variables, state_dict):
     """Map a somepago/saint-style torch ``state_dict`` onto our
     :class:`SAINTEncoder` variables (the reference loads SAINT weights
@@ -237,63 +336,96 @@ def load_saint_state_dict(variables, state_dict):
 
     new = {}
     for path, value in flat.items():
-        name = "/".join(path)
         expect = np.asarray(value)
-        v = None
-        if path[-2:] == ("embeds", "embedding"):
-            v = get("embeds.weight")
-        elif path[-2:] == ("pos_encodings", "embedding"):
-            v = get("pos_encodings.weight")
-        elif path[-1].startswith("con_mlp_"):
-            ncon = expect.shape[0]
-            which = path[-1]
-            parts = []
-            for i in range(ncon):
-                if which == "con_mlp_w1":
-                    parts.append(get(f"simple_MLP.{i}.layers.0.weight").T)
-                elif which == "con_mlp_b1":
-                    parts.append(get(f"simple_MLP.{i}.layers.0.bias"))
-                elif which == "con_mlp_w2":
-                    parts.append(get(f"simple_MLP.{i}.layers.2.weight").T)
-                else:
-                    parts.append(get(f"simple_MLP.{i}.layers.2.bias"))
-            v = np.stack(parts)
-        else:
-            # l{d}_{kind}: norm_col/attn_col/ff_col/norm_ff_col + row
-            import re as _re
-            m = _re.match(r"l(\d+)_(.+)", path[-2] if len(path) >= 2
-                          else path[-1])
-            m0 = _re.match(r"l(\d+)_(.+)", path[0])
-            mm = m0 or m
-            if mm is None:
-                raise KeyError(f"unmapped SAINT leaf {name}")
-            d = int(mm.group(1))
-            kind = mm.group(2)
-            slot = {"norm_col": 0, "attn_col": 0, "ff_col": 1,
-                    "norm_ff_col": 1, "norm_row": 2, "attn_row": 2,
-                    "ff_row": 3, "norm_ff_row": 3}[kind]
-            base = f"transformer.layers.{d}.{slot}"
-            leaf = path[-1]
-            if kind.startswith("norm"):
-                tk = base + ".norm." + ("weight" if leaf == "scale"
-                                        else "bias")
-                v = get(tk)
-            elif kind.startswith("attn"):
-                sub = path[-2]  # to_qkv / to_out
-                tk = f"{base}.fn.fn.{sub}." + (
-                    "weight" if leaf == "kernel" else "bias")
-                v = get(tk)
-                if leaf == "kernel":
-                    v = v.T
-            else:  # ff: fc1 -> net.0, fc2 -> net.3
-                sub = {"fc1": "net.0", "fc2": "net.3"}[path[-2]]
-                tk = f"{base}.fn.fn.{sub}." + (
-                    "weight" if leaf == "kernel" else "bias")
-                v = get(tk)
-                if leaf == "kernel":
-                    v = v.T
+        v = _saint_value(path, expect, get)
         if v.shape != expect.shape:
-            raise ValueError(f"SAINT shape mismatch at {name}: torch "
-                             f"{v.shape} vs flax {expect.shape}")
+            raise ValueError(f"SAINT shape mismatch at {'/'.join(path)}: "
+                             f"torch {v.shape} vs flax {expect.shape}")
         new[path] = v.astype(expect.dtype)
     return {"params": _unflatten(new)}, used[0]
+
+
+def _saint_export_leaf(path, v):
+    """Yield (torch_key, value) pairs for one flax SAINTEncoder leaf in
+    somepago/saint layout (inverse of :func:`_saint_value`)."""
+    if path[-2:] == ("embeds", "embedding"):
+        yield "embeds.weight", v
+    elif path[-2:] == ("pos_encodings", "embedding"):
+        yield "pos_encodings.weight", v
+    elif path[-1].startswith("con_mlp_"):
+        which = path[-1]
+        for i in range(v.shape[0]):
+            if which == "con_mlp_w1":
+                yield f"simple_MLP.{i}.layers.0.weight", v[i].T
+            elif which == "con_mlp_b1":
+                yield f"simple_MLP.{i}.layers.0.bias", v[i]
+            elif which == "con_mlp_w2":
+                yield f"simple_MLP.{i}.layers.2.weight", v[i].T
+            else:
+                yield f"simple_MLP.{i}.layers.2.bias", v[i]
+    else:
+        tk, transpose = _saint_torch_key(path)
+        yield tk, (v.T if transpose else v)
+
+
+def export_torch_state_dict(variables, prefix: str = "",
+                            with_bn_counters: bool = True
+                            ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_torch_state_dict`: walk our flax
+    variable tree and emit a reference-layout torch ``state_dict``
+    (numpy values), so checkpoints trained in this framework migrate
+    BACK to the PyTorch reference (docs/MIGRATION.md).
+
+    Value transforms are the exact inverses: Conv (kh,kw,I,O)->(O,I,kh,kw),
+    Linear (I,O)->(O,I), BN/LN scale->weight, ``batch_stats`` ->
+    ``running_{mean,var}`` (+ zero ``num_batches_tracked`` per BN so
+    torch's strict ``load_state_dict`` succeeds — the counter is not
+    recoverable from our state and only feeds torch's un-used
+    momentum=None averaging path).
+    """
+    sd: Dict[str, np.ndarray] = {}
+    for path, value in _flatten(variables["params"]).items():
+        *mods, leaf = path
+        v = np.asarray(value)
+        saint_prefix, saint_rel = _saint_subpath(path)
+        if saint_prefix is not None:
+            for k, sv in _saint_export_leaf(saint_rel, v):
+                sd[saint_prefix + k] = sv
+            continue
+        base = _flax_to_torch_key(tuple(mods), leaf)
+        if leaf == "kernel":
+            if v.ndim == 4:       # HWIO -> conv OIHW
+                sd[base + ".weight"] = v.transpose(3, 2, 0, 1)
+            elif v.ndim == 2:     # (I,O) -> linear (O,I)
+                sd[base + ".weight"] = v.T
+            else:
+                sd[base + ".weight"] = v
+        elif leaf == "bias":
+            sd[base + ".bias"] = v
+        elif leaf in ("scale", "embedding"):
+            sd[base + ".weight"] = v
+        else:  # tokens and other direct leaves share the torch name
+            sd[(base + "." if base else "") + leaf] = v
+    bn_bases = set()
+    for path, value in _flatten(variables.get("batch_stats", {})).items():
+        *mods, leaf = path
+        base = _flax_to_torch_key(tuple(mods), leaf)
+        torch_leaf = {"mean": "running_mean", "var": "running_var"}[leaf]
+        sd[base + "." + torch_leaf] = np.asarray(value)
+        bn_bases.add(base)
+    if with_bn_counters:
+        for b in sorted(bn_bases):
+            sd[b + ".num_batches_tracked"] = np.asarray(0, np.int64)
+    return {prefix + k: v for k, v in sd.items()}
+
+
+def export_saint_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`load_saint_state_dict`: emit the
+    somepago/saint-layout ``state_dict`` for our :class:`SAINTEncoder`
+    params (the vectorised per-continuous MLP stacks split back into
+    ``simple_MLP.{i}.layers.{0,2}.*``)."""
+    sd: Dict[str, np.ndarray] = {}
+    for path, value in _flatten(variables["params"]).items():
+        for k, v in _saint_export_leaf(path, np.asarray(value)):
+            sd[k] = v
+    return sd

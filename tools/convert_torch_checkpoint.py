@@ -65,14 +65,27 @@ def main():
     ema = {("model." + k[len("ema."):]): v for k, v in sd.items()
            if k.startswith("ema.")}
     if ema and state.ema_params is not None:
-        sub = {"params": {"backbone": state.ema_params}}
-        if state.ema_batch_stats is not None:
-            sub["batch_stats"] = {"backbone": state.ema_batch_stats}
+        # STiL stores the EMA teacher as the backbone subtree only;
+        # CoTraining-style states mirror the full net ({'backbone':...})
+        nested = "backbone" not in state.ema_params
+        if nested:
+            sub = {"params": {"backbone": state.ema_params}}
+            if state.ema_batch_stats is not None:
+                sub["batch_stats"] = {"backbone": state.ema_batch_stats}
+        else:
+            sub = {"params": state.ema_params}
+            if state.ema_batch_stats is not None:
+                sub["batch_stats"] = state.ema_batch_stats
         conv_e, left_e = convert_torch_state_dict(ema, sub, strict=False)
+        if nested:
+            new_ema_p = conv_e["params"]["backbone"]
+            new_ema_s = conv_e.get("batch_stats", {}).get(
+                "backbone", state.ema_batch_stats)
+        else:
+            new_ema_p = conv_e["params"]
+            new_ema_s = conv_e.get("batch_stats", state.ema_batch_stats)
         state = dataclasses.replace(
-            state, ema_params=conv_e["params"]["backbone"],
-            ema_batch_stats=conv_e.get("batch_stats", {}).get(
-                "backbone", state.ema_batch_stats))
+            state, ema_params=new_ema_p, ema_batch_stats=new_ema_s)
         print(f"ema: {len(ema) - len(left_e)}/{len(ema)} keys consumed")
 
     if "prototypes" in sd and hasattr(state, "prototypes"):
