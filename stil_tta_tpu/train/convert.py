@@ -44,14 +44,22 @@ def _resnet_torch_name(parts):
 # flax module-path fragment -> torch fragment, applied longest-first
 _RENAMES = [
     (re.compile(r"^backbone$"), "model"),
+    # imaging Match nets wrap the resnet under the ``backbone``
+    # attribute (``simmatch_model.py:23``); our ImagingNet auto-names it
+    (re.compile(r"^ResNet_0$"), "backbone"),
     (re.compile(r"^block_(\d+)$"), r"transformer_blocks.\1"),
     (re.compile(r"^fusion_(\d+)$"), r"transformer.\1"),
     (re.compile(r"^club_imaging$"), "CLUB_imaging"),
     (re.compile(r"^club_tabular$"), "CLUB_tabular"),
 ]
 
-# leaf-level renames inside specific parents
+# leaf-level renames inside specific parents: the DisCo projections are
+# an ``MLP`` class wrapping a Sequential under ``.model``
+# (``STiLModel_backbone.py:19-28``); the Match-family ``head`` is a
+# plain Sequential (``simmatch_model.py:26-30``,
+# ``multimodal_backbone.py:56-60``)
 _MLP_HEAD_LEAF = {"fc1": "model.0", "fc2": "model.2"}
+_SEQ_HEAD_LEAF = {"fc1": "0", "fc2": "2"}
 _SIMCLR_LEAF = {"fc1": "layers.0", "fc2": "layers.2"}
 _CLUB_LEAF = {"fc1": "p_mu.0", "fc2": "p_mu.2"}
 
@@ -65,7 +73,7 @@ def _flax_to_torch_key(path: Tuple[str, ...], leaf: str):
         if p.startswith("projection_") and i + 1 < len(parts):
             parts[i + 1] = _MLP_HEAD_LEAF.get(parts[i + 1], parts[i + 1])
         if p == "head" and i + 1 < len(parts):
-            parts[i + 1] = _MLP_HEAD_LEAF.get(parts[i + 1], parts[i + 1])
+            parts[i + 1] = _SEQ_HEAD_LEAF.get(parts[i + 1], parts[i + 1])
         if p == "projector_multimodal" and i + 1 < len(parts):
             parts[i + 1] = _SIMCLR_LEAF.get(parts[i + 1], parts[i + 1])
         if p in ("projector_imaging", "projector_tabular") \

@@ -64,16 +64,9 @@ class TMatchMMBackbone(nn.Module):
 
 
 def _to_sd(net):
-    """MLPHead fc1/fc2 live under torch names head.model.{0,2}."""
-    sd = {}
-    for k, v in net.state_dict().items():
-        if k.startswith("head.0."):
-            sd["model.head.model.0." + k[len("head.0."):]] = v.numpy()
-        elif k.startswith("head.2."):
-            sd["model.head.model.2." + k[len("head.2."):]] = v.numpy()
-        else:
-            sd["model." + k] = v.numpy()
-    return sd
+    """Reference-native multimodal layout: all attrs under ``model.``,
+    head as a plain Sequential (``multimodal_backbone.py:56-60``)."""
+    return {"model." + k: v.numpy() for k, v in net.state_dict().items()}
 
 
 def torch_freematch_mm_step(tm, ema, img_x, tab_x, img_u, tab_u, y_l,

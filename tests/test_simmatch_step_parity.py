@@ -61,20 +61,11 @@ class TSimMatchNet(nn.Module):
 
 
 def _to_sd(net):
-    """Torch state dict keyed for our ImagingNet tree (backbone at the
-    auto-named ``ResNet_0`` submodule; MLPHead fc1/fc2 -> head.model.N
-    via the converter's leaf renames)."""
-    sd = {}
-    for k, v in net.state_dict().items():
-        if k.startswith("backbone."):
-            sd["ResNet_0." + k[len("backbone."):]] = v.numpy()
-        elif k.startswith("head.0."):
-            sd["head.model.0." + k[len("head.0."):]] = v.numpy()
-        elif k.startswith("head.2."):
-            sd["head.model.2." + k[len("head.2."):]] = v.numpy()
-        else:
-            sd[k] = v.numpy()
-    return sd
+    """Torch state dict in the reference's native imaging-net layout
+    (``backbone.*`` / ``classifier.*`` / ``head.{0,2}.*`` —
+    ``simmatch_model.py:20-30``); the converter maps it onto our
+    ImagingNet tree (auto-named ``ResNet_0``, MLPHead fc1/fc2)."""
+    return {k: v.numpy() for k, v in net.state_dict().items()}
 
 
 class _Cfg(dict):

@@ -52,7 +52,22 @@ def main():
     state = algo.init_state(jax.random.key(0), img, tab)
 
     sd = load_torch_checkpoint(args.ckpt)
-    student = {k: v for k, v in sd.items() if not k.startswith("ema.")}
+    # SimMatch/CoMatch/FreeMatch Lightning modules wrap main+ema inside
+    # one submodule (``model.main.*`` / ``model.ema.*`` —
+    # ``simmatch_model.py:51-57``); normalise to the sibling layout.
+    # Multimodal trees keep the ``model.`` prefix (flax ``backbone``);
+    # imaging trees are flat (``backbone./classifier./head.``).
+    if any(k.startswith("model.main.") for k in sd):
+        strip = "model." if "backbone" in state.params else ""
+        sd = {(strip + k[len("model.main."):]
+               if k.startswith("model.main.") else
+               "ema." + k[len("model.ema."):]
+               if k.startswith("model.ema.") else k): v
+              for k, v in sd.items()}
+    buffers = {k: v for k, v in sd.items() if "." not in k
+               or k.split(".", 1)[0] == "model" and k.count(".") == 1}
+    student = {k: v for k, v in sd.items()
+               if not k.startswith("ema.") and k not in buffers}
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     converted, leftovers = convert_torch_state_dict(student, variables,
                                                     strict=False)
@@ -88,11 +103,68 @@ def main():
             state, ema_params=new_ema_p, ema_batch_stats=new_ema_s)
         print(f"ema: {len(ema) - len(left_e)}/{len(ema)} keys consumed")
 
-    if "prototypes" in sd and hasattr(state, "prototypes"):
+    # Lightning-level buffers (prototypes / DA rings / banks / queues)
+    # back into the train state, under the reference's registered names
+    def get(*names):
+        for n in names:
+            if n in buffers:
+                return np.asarray(buffers[n])
+        return None
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    i32s = lambda a: jnp.asarray(int(np.asarray(a).reshape(-1)[0]),
+                                 jnp.int32)
+    restored = []
+
+    def set_da(queue, ptr):
+        from stil_tta_tpu.algorithms.base import DAState
+        nonlocal state
         state = dataclasses.replace(
-            state, prototypes=jnp.asarray(np.asarray(sd["prototypes"]),
-                                          jnp.float32))
-        print("prototypes restored")
+            state, da=DAState(f32(queue), i32s(ptr)))
+        restored.append("DA")
+
+    name = cfg.algorithm_name
+    if get("prototypes") is not None and hasattr(state, "prototypes"):
+        state = dataclasses.replace(
+            state, prototypes=f32(get("prototypes")))
+        restored.append("prototypes")
+        if get("prototypes_sum") is not None:
+            state = dataclasses.replace(
+                state, prototypes_sum=f32(get("prototypes_sum")),
+                prototypes_count=f32(get("prototypes_count_sum")))
+            restored.append("prototype sums")
+    extra = dict(getattr(state, "extra", None) or {})
+    extra_changed = False
+    if name == "SimMatch" and get("model.bank", "bank") is not None:
+        extra["bank"] = f32(get("model.bank", "bank"))
+        extra["bank_labels"] = jnp.asarray(
+            get("model.labels", "labels"), jnp.int32)
+        extra_changed = True
+        restored.append("bank")
+    elif name == "CoMatch" and get("model.queue_s",
+                                   "queue_s") is not None:
+        for ours, theirs in (("queue_s", "queue_s"),
+                             ("probs_u", "probs_u"),
+                             ("queue_w", "queue_w"),
+                             ("probs_xu", "probs_xu")):
+            extra[ours] = f32(get("model." + theirs, theirs))
+        extra["ptr_s"] = i32s(get("model.queue_ptr_s", "queue_ptr_s"))
+        extra["ptr_w"] = i32s(get("model.queue_ptr_w", "queue_ptr_w"))
+        extra_changed = True
+        restored.append("queues")
+    elif name == "MMatch" and get("embed_queue") is not None:
+        extra["embed_queue"] = f32(get("embed_queue"))
+        extra["probs_queue"] = f32(get("probs_queue"))
+        extra["ptr"] = i32s(get("embed_queue_ptr"))
+        extra_changed = True
+        restored.append("memory bank")
+    if extra_changed:
+        state = dataclasses.replace(state, extra=extra)
+    da_q = get("DA_queue", "model.DA_queue")
+    if da_q is not None and getattr(state, "da", None) is not None:
+        set_da(da_q, get("DA_ptr", "model.DA_ptr"))
+    if restored:
+        print(f"buffers restored: {', '.join(restored)}")
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

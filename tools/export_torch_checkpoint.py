@@ -70,7 +70,12 @@ def main():
     sd = _export({"params": state.params,
                   "batch_stats": state.batch_stats})
     if wrapped:
-        sd = {"model.main." + k[len("model."):]: v for k, v in sd.items()}
+        # multimodal trees already carry the ``model.`` prefix (flax
+        # ``backbone`` -> torch ``model``); imaging trees are flat
+        # (``backbone./classifier./head.``) and nest verbatim
+        sd = {"model.main." + (k[len("model."):]
+                               if k.startswith("model.") else k): v
+              for k, v in sd.items()}
 
     has_ema = getattr(state, "ema_params", None) is not None and (
         wrapped or algo_name.startswith("STiL")
@@ -86,7 +91,8 @@ def main():
             ema_stats = state.ema_batch_stats or {}
         ema_sd = _export({"params": ema_tree, "batch_stats": ema_stats})
         pfx = "model.ema." if wrapped else "ema."
-        sd.update({pfx + k[len("model."):]: v for k, v in ema_sd.items()})
+        sd.update({pfx + (k[len("model."):] if k.startswith("model.")
+                          else k): v for k, v in ema_sd.items()})
 
     # Lightning-level buffers, under the reference's registered names
     def put(name, arr, dtype=None):
