@@ -43,12 +43,14 @@ def main():
     from stil_tta_tpu.data.loader import DeviceCache
     from stil_tta_tpu.data.source import synthetic_source
 
-    batch_size = 512
+    # reference DVM shape by default; env knobs exist so CI can smoke
+    # the bench paths on CPU at tiny shapes (tests/test_bench_smoke.py)
+    batch_size = int(os.environ.get("STIL_BENCH_BATCH", "512"))
     ur = 7
     l_batch = batch_size // (1 + ur)   # 64
     u_batch = batch_size - l_batch     # 448
-    img_size = 128
-    num_classes = 286
+    img_size = int(os.environ.get("STIL_BENCH_IMG", "128"))
+    num_classes = int(os.environ.get("STIL_BENCH_CLASSES", "286"))
     field_lengths = [20, 10, 5, 3] + [1] * 13  # 4 cat + 13 con (DVM)
 
     model = os.environ.get("STIL_BENCH_MODEL", "resnet50")
@@ -89,40 +91,84 @@ def main():
     # (steps_per_dispatch default; amortises host/tunnel latency —
     # round 2: k=16: 5310/s, k=32: 5328/s, k=64: 5333/s; 32 keeps
     # epoch tails short at the DVM epoch length of ~137 steps)
-    from stil_tta_tpu.train.multistep import make_scan_train_step
     k = int(os.environ.get("STIL_BENCH_K", "32"))
-    scan_step = make_scan_train_step(train_step, k)
-
-    rs = np.random.RandomState(0)
-    def idx_block():
-        return (jnp.asarray(rs.randint(0, len(src_l), (k, l_batch)),
-                            jnp.int32),
-                jnp.asarray(rs.randint(0, len(src_u), (k, u_batch)),
-                            jnp.int32))
-
+    # STIL_BENCH_INPUT=host_stream measures the >HBM input path
+    # (host-gathered (K,B) blocks, one transfer + one device call per K
+    # steps — ``train/evaluate.py`` host_stream branch) instead of the
+    # default HBM-resident DeviceCache.
+    input_mode = os.environ.get("STIL_BENCH_INPUT", "device_cache")
     epoch = jnp.asarray(1, jnp.int32)
+    n_calls = int(os.environ.get("STIL_BENCH_CALLS", "4"))
 
-    # tuned TPU compiler options (sweep winner, +5.3% — jax_setup):
-    # AOT-compiled; STIL_TPU_COMPILER_OPTIONS env overrides for sweeps.
-    il, iu = idx_block()
-    scan_step = jax_setup.tuned_compile(scan_step, state, cache_l,
-                                        cache_u, il, iu, epoch)
+    if input_mode == "host_stream":
+        from stil_tta_tpu.data.loader import (CyclingEpochView,
+                                              CyclingSampler, HostStream)
+        from stil_tta_tpu.train.multistep import make_scan_stream_step
+        steps = (n_calls + 1) * k
+        l_stream = HostStream(src_l, CyclingEpochView(
+            CyclingSampler(len(src_l), l_batch, seed=1), steps))
+        u_stream = HostStream(src_u, CyclingEpochView(
+            CyclingSampler(len(src_u), u_batch, seed=2), steps))
+        marg_l = jax.device_put(np.asarray(src_l.tabular, np.float32))
+        marg_u = jax.device_put(np.asarray(src_u.tabular, np.float32))
+        il = jnp.arange(l_batch, dtype=jnp.int32)
+        iu = jnp.arange(u_batch, dtype=jnp.int32)
+        keys = ("images", "tabular", "labels", "labelled", "missing")
+        blocks = zip(l_stream.epoch_blocks(k, steps),
+                     u_stream.epoch_blocks(k, steps))
 
-    # warmup / compile
-    il, iu = idx_block()
-    state = scan_step(state, cache_l, cache_u, il, iu, epoch)
-    assert int(state.step) == k
+        def next_block():
+            (kind_l, bl), (kind_u, bu) = next(blocks)
+            assert kind_l == kind_u == "block"
+            return ({kk: bl[kk] for kk in keys if kk in bl},
+                    {kk: bu[kk] for kk in keys if kk in bu})
 
-    n_calls = 4
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
+        vl, vu = next_block()
+        scan_step = jax_setup.tuned_compile(
+            make_scan_stream_step(train_step, k), state, vl, vu,
+            marg_l, marg_u, il, iu, epoch)
+        state = scan_step(state, vl, vu, marg_l, marg_u, il, iu, epoch)
+        assert int(state.step) == k
+
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            vl, vu = next_block()
+            state = scan_step(state, vl, vu, marg_l, marg_u, il, iu,
+                              epoch)
+        n_steps = n_calls * k
+        assert int(state.step) == n_steps + k
+        dt = time.perf_counter() - t0
+    else:
+        from stil_tta_tpu.train.multistep import make_scan_train_step
+        scan_step = make_scan_train_step(train_step, k)
+
+        rs = np.random.RandomState(0)
+        def idx_block():
+            return (jnp.asarray(rs.randint(0, len(src_l), (k, l_batch)),
+                                jnp.int32),
+                    jnp.asarray(rs.randint(0, len(src_u), (k, u_batch)),
+                                jnp.int32))
+
+        # tuned TPU compiler options (sweep winner, +5.3% — jax_setup):
+        # AOT-compiled; STIL_TPU_COMPILER_OPTIONS env overrides.
+        il, iu = idx_block()
+        scan_step = jax_setup.tuned_compile(scan_step, state, cache_l,
+                                            cache_u, il, iu, epoch)
+
+        # warmup / compile
         il, iu = idx_block()
         state = scan_step(state, cache_l, cache_u, il, iu, epoch)
-    # host-side read dependent on the final step: airtight sync even if
-    # block_until_ready returns early on the tunnel (docs/DESIGN.md)
-    n_steps = n_calls * k
-    assert int(state.step) == n_steps + k
-    dt = time.perf_counter() - t0
+        assert int(state.step) == k
+
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            il, iu = idx_block()
+            state = scan_step(state, cache_l, cache_u, il, iu, epoch)
+        # host-side read dependent on the final step: airtight sync even
+        # if block_until_ready returns early on the tunnel (DESIGN.md)
+        n_steps = n_calls * k
+        assert int(state.step) == n_steps + k
+        dt = time.perf_counter() - t0
 
     samples_per_sec = n_steps * batch_size / dt
     ms_per_step = dt / n_steps * 1e3
@@ -174,6 +220,7 @@ def main():
         "mfu_pct": mfu_pct,
         "batch_size": batch_size,
         "steps_per_dispatch": k,
+        "input_mode": input_mode,
     }))
 
 

@@ -1,0 +1,46 @@
+"""bench.py smoke on CPU at tiny shapes (env knobs): both input modes
+— DeviceCache (indexed scan blocks) and host_stream ((K,B) stacked
+block dispatch) — run end to end and emit the one-line JSON contract
+the driver parses."""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+
+TINY = {"STIL_BENCH_MODEL": "resnet18", "STIL_BENCH_BATCH": "8",
+        "STIL_BENCH_IMG": "32", "STIL_BENCH_CLASSES": "4",
+        "STIL_BENCH_K": "2", "STIL_BENCH_CALLS": "1"}
+
+
+def _run_bench(monkeypatch, capsys, mode):
+    for k, v in TINY.items():
+        monkeypatch.setenv(k, v)
+    monkeypatch.setenv("STIL_BENCH_INPUT", mode)
+    spec = importlib.util.spec_from_file_location(
+        f"bench_{mode}", ROOT / "bench.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m.main()
+    out = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("{")]
+    assert out, "bench printed no JSON line"
+    rec = json.loads(out[-1])
+    assert rec["metric"] == "stil_dvm_train_samples_per_sec_per_chip"
+    assert rec["value"] > 0
+    assert rec["unit"] == "samples/sec"
+    assert rec["vs_baseline"] >= 0  # rounds to 0.0 at CPU speeds
+    assert rec["ms_per_step"] > 0
+    assert rec["batch_size"] == 8
+    assert rec["steps_per_dispatch"] == 2
+    assert rec["input_mode"] == mode
+    return rec
+
+
+@pytest.mark.parametrize("mode", ["device_cache", "host_stream"])
+def test_bench_smoke(monkeypatch, capsys, mode):
+    _run_bench(monkeypatch, capsys, mode)
