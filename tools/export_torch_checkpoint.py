@@ -4,11 +4,17 @@ Lightning-style ``.ckpt`` the reference stack can load — the migration
 path OUT of the framework (inverse of tools/convert_torch_checkpoint.py;
 mapping proven exact in tests/test_reverse_convert.py).
 
-Layout written: ``state_dict`` with the student under ``model.`` (plus
-projectors/CLUB heads at the top level), the EMA teacher under
-``ema.``, and the ``prototypes`` buffer when present;
+Layout written (per family, matching the reference's Lightning module
+graphs): STiL/CoTraining put the student under ``model.`` (plus
+projectors/CLUB heads at the top level) and the EMA teacher under
+``ema.``; SimMatch/CoMatch/FreeMatch wrap both inside one submodule
+(``model.main.*`` / ``model.ema.*``); MMatch has no EMA. Lightning-
+level buffers (prototypes/prototype sums, DA rings, instance banks,
+feature queues) are emitted under their registered reference names.
 ``hyper_parameters`` carries the run config (as the reference's
-``save_hyperparameters`` does — ``STiLModel.py:32``).
+``save_hyperparameters`` does — ``STiLModel.py:32``). FreeMatch's
+time_p/p_model/label_hist are plain tensors in the reference (never
+registered), so they are absent from its checkpoints on both sides.
 
 Usage:
   python tools/export_torch_checkpoint.py \
