@@ -97,6 +97,9 @@ def main():
     # steps — ``train/evaluate.py`` host_stream branch) instead of the
     # default HBM-resident DeviceCache.
     input_mode = os.environ.get("STIL_BENCH_INPUT", "device_cache")
+    if input_mode not in ("device_cache", "host_stream"):
+        raise SystemExit(f"STIL_BENCH_INPUT must be device_cache or "
+                         f"host_stream, got {input_mode!r}")
     epoch = jnp.asarray(1, jnp.int32)
     n_calls = int(os.environ.get("STIL_BENCH_CALLS", "4"))
 

@@ -77,6 +77,7 @@ class STiLNet(nn.Module):
     embedding_dropout: float = 0.0
     drop_rate: float = 0.0
     tabular_encoder: str = "transformer"
+    saint_ff_dropout: float = 0.8  # reference hard-codes 0.8
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -90,7 +91,8 @@ class STiLNet(nn.Module):
             multimodal_num_layers=self.multimodal_num_layers,
             embedding_dropout=self.embedding_dropout,
             drop_rate=self.drop_rate,
-            tabular_encoder=self.tabular_encoder, dtype=self.dtype)
+            tabular_encoder=self.tabular_encoder,
+            saint_ff_dropout=self.saint_ff_dropout, dtype=self.dtype)
         self.projector_multimodal = SimCLRProjectionHead(
             hid * 3, self.projection_dim, dtype=self.dtype)
         if self.target == "dvm":
@@ -189,6 +191,8 @@ class STiL:
             embedding_dropout=float(cfg.embedding_dropout or 0.0),
             drop_rate=float(cfg.drop_rate or 0.0),
             tabular_encoder=self.tabular_encoder,
+            saint_ff_dropout=(0.8 if cfg.saint_ff_dropout is None
+                              else float(cfg.saint_ff_dropout)),
             dtype=dtype)
         from stil_tta_tpu.train.optim import encoder_freeze_fn
         freeze = encoder_freeze_fn if (

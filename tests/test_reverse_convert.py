@@ -127,3 +127,64 @@ def test_saint_state_dict_roundtrip():
     assert set(back) == set(sd), (sorted(set(back) ^ set(sd))[:5])
     for k, v in sd.items():
         np.testing.assert_array_equal(back[k], v, err_msg=k)
+
+
+def test_embedded_saint_lightning_roundtrip():
+    """A SAINT-backbone Lightning state_dict (SAINT keys embedded under
+    ``model.encoder_tabular.``, as a real reference CoTrain_SAINT
+    checkpoint carries them) converts through plain
+    convert_torch_state_dict — no split load_saint_state_dict call —
+    and exports back bitwise (the embedded `_saint_subpath` route in
+    both directions)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stil_tta_tpu.algorithms.mmatch import SemiMultimodalNet
+    from tests.test_cotrain_saint_step_parity import TSemiSAINTBackbone
+    from tests.test_saint_parity import CATS, NCON
+
+    torch.manual_seed(4)
+    tm = TSemiSAINTBackbone().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = {"model." + k: v.numpy() for k, v in tm.state_dict().items()}
+    assert any("encoder_tabular.simple_MLP" in k for k in sd)
+
+    net = SemiMultimodalNet(
+        encoder="resnet18", field_lengths=tuple(CATS) + (1,) * NCON,
+        num_classes=4, projection_dim=16, tabular_embedding_dim=32,
+        multimodal_embedding_dim=32, tabular_num_layers=1,
+        tabular_encoder="saint", saint_ff_dropout=0.0,
+        dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 32, 32, 3).astype(np.float32)
+    tab = np.concatenate([
+        np.stack([rng.randint(0, c, 2) for c in CATS], 1),
+        rng.randn(2, NCON)], 1).astype(np.float32)
+    variables = net.init(jax.random.key(0), jnp.asarray(img),
+                         jnp.asarray(tab), train=False)
+
+    converted, leftovers = convert_torch_state_dict(sd, variables)
+    assert not leftovers, leftovers
+
+    # forward parity through the embedded route
+    ours = net.apply(converted, jnp.asarray(img), jnp.asarray(tab),
+                     train=False)
+    with torch.no_grad():
+        om, oi, ot, _ = tm(torch.tensor(img.transpose(0, 3, 1, 2)),
+                           torch.tensor(tab))
+    np.testing.assert_allclose(np.asarray(ours[0]), om.numpy(),
+                               rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ours[2]), ot.numpy(),
+                               rtol=1e-3, atol=5e-4)
+
+    # export back: every original key present and bitwise equal
+    back = export_torch_state_dict(converted)
+    orig = {k: v for k, v in sd.items()
+            if "num_batches_tracked" not in k}
+    assert set(orig) <= set(back), sorted(set(orig) - set(back))[:5]
+    for k, v in orig.items():
+        np.testing.assert_array_equal(back[k], v, err_msg=k)

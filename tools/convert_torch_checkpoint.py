@@ -111,6 +111,19 @@ def main():
                 return np.asarray(buffers[n])
         return None
 
+    def group(*alts):
+        """All-or-nothing buffer group: each element is a tuple of
+        accepted names for one tensor. Returns the list of arrays, or
+        None (with a warning) if any member is absent."""
+        vals = [get(*a) for a in alts]
+        if all(v is not None for v in vals):
+            return vals
+        if any(v is not None for v in vals):
+            missing = [a[0] for a, v in zip(alts, vals) if v is None]
+            print(f"warning: partial buffer group in checkpoint — "
+                  f"missing {missing}; group skipped")
+        return None
+
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     i32s = lambda a: jnp.asarray(int(np.asarray(a).reshape(-1)[0]),
                                  jnp.int32)
@@ -128,41 +141,52 @@ def main():
         state = dataclasses.replace(
             state, prototypes=f32(get("prototypes")))
         restored.append("prototypes")
-        if get("prototypes_sum") is not None:
+        g = group(("prototypes_sum",), ("prototypes_count_sum",))
+        if g is not None:
             state = dataclasses.replace(
-                state, prototypes_sum=f32(get("prototypes_sum")),
-                prototypes_count=f32(get("prototypes_count_sum")))
+                state, prototypes_sum=f32(g[0]),
+                prototypes_count=f32(g[1]))
             restored.append("prototype sums")
     extra = dict(getattr(state, "extra", None) or {})
     extra_changed = False
-    if name == "SimMatch" and get("model.bank", "bank") is not None:
-        extra["bank"] = f32(get("model.bank", "bank"))
-        extra["bank_labels"] = jnp.asarray(
-            get("model.labels", "labels"), jnp.int32)
-        extra_changed = True
-        restored.append("bank")
-    elif name == "CoMatch" and get("model.queue_s",
-                                   "queue_s") is not None:
-        for ours, theirs in (("queue_s", "queue_s"),
-                             ("probs_u", "probs_u"),
-                             ("queue_w", "queue_w"),
-                             ("probs_xu", "probs_xu")):
-            extra[ours] = f32(get("model." + theirs, theirs))
-        extra["ptr_s"] = i32s(get("model.queue_ptr_s", "queue_ptr_s"))
-        extra["ptr_w"] = i32s(get("model.queue_ptr_w", "queue_ptr_w"))
-        extra_changed = True
-        restored.append("queues")
-    elif name == "MMatch" and get("embed_queue") is not None:
-        extra["embed_queue"] = f32(get("embed_queue"))
-        extra["probs_queue"] = f32(get("probs_queue"))
-        extra["ptr"] = i32s(get("embed_queue_ptr"))
-        extra_changed = True
-        restored.append("memory bank")
+    if name == "SimMatch":
+        g = group(("model.bank", "bank"), ("model.labels", "labels"))
+        if g is not None:
+            extra["bank"] = f32(g[0])
+            extra["bank_labels"] = jnp.asarray(g[1], jnp.int32)
+            extra_changed = True
+            restored.append("bank")
+    elif name == "CoMatch":
+        g = group(("model.queue_s", "queue_s"),
+                  ("model.probs_u", "probs_u"),
+                  ("model.queue_w", "queue_w"),
+                  ("model.probs_xu", "probs_xu"),
+                  ("model.queue_ptr_s", "queue_ptr_s"),
+                  ("model.queue_ptr_w", "queue_ptr_w"))
+        if g is not None:
+            for key, v in zip(("queue_s", "probs_u", "queue_w",
+                               "probs_xu"), g[:4]):
+                extra[key] = f32(v)
+            extra["ptr_s"] = i32s(g[4])
+            extra["ptr_w"] = i32s(g[5])
+            extra_changed = True
+            restored.append("queues")
+    elif name == "MMatch":
+        g = group(("embed_queue",), ("probs_queue",),
+                  ("embed_queue_ptr",))
+        if g is not None:
+            extra["embed_queue"] = f32(g[0])
+            extra["probs_queue"] = f32(g[1])
+            extra["ptr"] = i32s(g[2])
+            extra_changed = True
+            restored.append("memory bank")
     if extra_changed:
         state = dataclasses.replace(state, extra=extra)
-    da_q = get("DA_queue", "model.DA_queue")
-    if da_q is not None and getattr(state, "da", None) is not None:
-        set_da(da_q, get("DA_ptr", "model.DA_ptr"))
+    if getattr(state, "da", None) is not None:
+        g = group(("DA_queue", "model.DA_queue"),
+                  ("DA_ptr", "model.DA_ptr"))
+        if g is not None:
+            set_da(g[0], g[1])
     if restored:
         print(f"buffers restored: {', '.join(restored)}")
 

@@ -136,12 +136,24 @@ def main():
             put("DA_queue", da.queue)
             put("DA_ptr", ptr1(da.ptr))
 
+    # hyper_parameters from the RUN's saved config (the training-time
+    # snapshot, incl. runtime-derived keys like dataset_length); the
+    # CLI-reconstructed cfg is only the fallback
+    import json
+    cfg_json = Path(args.run) / (args.name + "_config.json")
+    if cfg_json.exists():
+        hparams = json.loads(cfg_json.read_text())
+    else:
+        hparams = cfg.to_dict()
+    steps_per_epoch = int(hparams.get("dataset_length") or 0)
     ckpt = {"state_dict": {k: torch.tensor(np.ascontiguousarray(v))
                            for k, v in sd.items()},
-            "hyper_parameters": cfg.to_dict(),
+            "hyper_parameters": hparams,
             "global_step": int(state.step),
-            "epoch": int(state.step) // max(int(cfg.dataset_length or 1),
-                                            1)}
+            # unknowable without the run's steps-per-epoch — report 0
+            # rather than the misleading step count
+            "epoch": (int(state.step) // steps_per_epoch
+                      if steps_per_epoch > 0 else 0)}
     torch.save(ckpt, args.out)
     print(f"wrote {args.out}: {len(sd)} tensors "
           f"(step {int(state.step)})")
