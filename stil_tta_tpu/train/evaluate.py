@@ -232,15 +232,28 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         scan_step = lazy_tuned(make_scan_train_step(
             algo.make_train_step(), spd))
 
-    u_sampler = EpochSampler(len(src_u), u_batch, shuffle=True,
-                             drop_last=True, seed=int(cfg.seed or 0))
-    if cfg.weighted_sampler and cfg.weights:
-        from stil_tta_tpu.data.loader import WeightedSampler
-        l_sampler = WeightedSampler(src_l.labels, cfg.weights, l_batch,
-                                    seed=int(cfg.seed or 0) + 1)
-    else:
-        l_sampler = CyclingSampler(len(src_l), l_batch,
-                                   seed=int(cfg.seed or 0) + 1)
+    seed0 = int(cfg.seed or 0)
+
+    def make_samplers(epoch_idx: int):
+        """Fresh per-epoch samplers seeded by (run seed, epoch id): the
+        data order is a pure function of the epoch, so a resumed run
+        replays the uninterrupted trajectory EXACTLY (a persistent
+        RandomState would hand a resumed epoch k the permutation epoch
+        0 saw). Also matches Lightning's per-epoch behavior — the
+        combined loader recreates its iterators (labeled loader
+        restarts + reshuffles) every epoch."""
+        u = EpochSampler(len(src_u), u_batch, shuffle=True,
+                         drop_last=True, seed=seed0 + 100003 * epoch_idx)
+        if cfg.weighted_sampler and cfg.weights:
+            from stil_tta_tpu.data.loader import WeightedSampler
+            l = WeightedSampler(src_l.labels, cfg.weights, l_batch,
+                                seed=seed0 + 100003 * epoch_idx + 1)
+        else:
+            l = CyclingSampler(len(src_l), l_batch,
+                               seed=seed0 + 100003 * epoch_idx + 1)
+        return l, u
+
+    u_sampler = make_samplers(0)[1]  # shape probe for steps_per_epoch
 
     eval_metric = cfg.eval_metric or ("acc" if cfg.target == "dvm"
                                       else "auc")
@@ -276,6 +289,7 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         optim.set_learning_rate(state.opt_state, lr)
         t0 = time.time()
         epoch_arr = jnp.asarray(epoch, jnp.int32)
+        l_sampler, u_sampler = make_samplers(epoch)
         if use_host_stream:
             from stil_tta_tpu.data.loader import (CyclingEpochView,
                                                   HostStream)
