@@ -73,11 +73,11 @@ class _Cfg(dict):
 
 
 def torch_simmatch_step(tm, ema, img_x, img_u, y_l, idx_l, bank,
-                        bank_labels):
-    """One reference SimMatch training step + SGD(LR) update. Returns
+                        bank_labels, lr=LR):
+    """One reference SimMatch training step + SGD(lr) update. Returns
     (logs, new bank, new bank_labels); mutates tm/ema in place."""
     tm.train()
-    opt = torch.optim.SGD(tm.parameters(), lr=LR)
+    opt = torch.optim.SGD(tm.parameters(), lr=lr)
 
     # student on cat(x, u_s) — identity views: u_s = u_w = img_u
     logits_q, feat_q = tm(torch.cat([img_x, img_u]))
@@ -255,3 +255,123 @@ def test_simmatch_train_step_golden_vs_torch():
     rel = np.linalg.norm(ga - gb) / max(np.linalg.norm(gb), 1e-8)
     assert np.linalg.norm(gb) > 1e-3
     assert rel < 0.02, rel
+
+
+def test_simmatch_three_step_state_trajectory_vs_torch():
+    """3-step state-machine trajectory vs the torch twin at lr=0:
+    params frozen, isolating exactly the cross-step threading — the
+    instance-bank scatter at (different) dataset indices each step,
+    bank-label overwrites, the EMAN lerp compounding (params + BN
+    stats), and the student's BN running-stat accumulation. The 1-step
+    test above covers losses/gradients."""
+    steps = 3
+    torch.manual_seed(5)
+    tm = TSimMatchNet()
+    torch.manual_seed(9)
+    ema = TSimMatchNet()
+    with torch.no_grad():
+        for net in (tm, ema):
+            for mod in net.modules():
+                if isinstance(mod, nn.BatchNorm2d):
+                    mod.running_mean.normal_(0, 0.05)
+                    mod.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.RandomState(33)
+    imgs_l = rng.rand(K, IMG, IMG, 3).astype(np.float32)
+    ys_l = rng.randint(0, NCLS, K).astype(np.int64)
+    img_u = rng.rand(steps * B_U, IMG, IMG, 3).astype(np.float32)
+    idx_steps = [rng.choice(K, B_L, replace=False).astype(np.int64)
+                 for _ in range(steps)]
+    bank0 = rng.randn(DIM, K).astype(np.float32)
+    bank0 /= np.linalg.norm(bank0, axis=0, keepdims=True)
+    bank_labels0 = rng.randint(0, NCLS, K).astype(np.int64)
+
+    # ---- our side -----------------------------------------------------
+    cfg = _Cfg(
+        algorithm_name="SimMatch", eval_datatype="imaging",
+        model="resnet18", num_classes=NCLS, projection_dim=DIM, K=K,
+        sim_threshold=THRESHOLD, lambda_u=LAMBDA_U, lambda_in=LAMBDA_IN,
+        tt=TT, st=ST, c_smooth=C_SMOOTH, start_epoch=0,
+        ema_momentum=MOMENTUM, DA=False, use_ema=True, eman=True,
+        lr_eval=0.0, weight_decay_eval=0.0, img_size=IMG,
+        eval_train_augment_rate=0.0, augmentation_rate=0.0,
+        corruption_rate=0.0, target="dvm", embedding_dropout=0.0,
+        drop_rate=0.0)
+    algo = SimMatch(cfg, [1], dtype=jnp.float32)
+    ident = lambda k, im, apply_rate=1.0: im.astype(jnp.float32)
+    algo.aug_labeled = ident
+    algo.aug_weak = ident
+    algo.aug_strong = ident
+    algo.tx = optax.sgd(0.0)
+
+    state = algo.init_state(jax.random.key(0),
+                            jnp.asarray(imgs_l[:2]),
+                            jnp.zeros((2, 1), jnp.float32))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    converted, leftovers = convert_torch_state_dict(_to_sd(tm), variables)
+    assert not leftovers, leftovers
+    conv_ema, _ = convert_torch_state_dict(_to_sd(ema), variables)
+    state = dataclasses.replace(
+        state, params=converted["params"],
+        batch_stats=converted["batch_stats"],
+        opt_state=algo.tx.init(converted["params"]),
+        ema_params=conv_ema["params"],
+        ema_batch_stats=conv_ema["batch_stats"],
+        extra={"bank": jnp.asarray(bank0),
+               "bank_labels": jnp.asarray(bank_labels0, jnp.int32)})
+
+    cache_l = {"images": jnp.asarray(imgs_l),
+               "tabular": jnp.zeros((K, 1), jnp.float32),
+               "labels": jnp.asarray(ys_l),
+               "labelled": jnp.ones((K,), bool)}
+    cache_u = {"images": jnp.asarray(img_u),
+               "tabular": jnp.zeros((steps * B_U, 1), jnp.float32),
+               "labels": jnp.zeros((steps * B_U,), jnp.int32),
+               "labelled": jnp.zeros((steps * B_U,), bool)}
+    step = algo.make_train_step()
+    our_step_logs = []
+    prev = {k: 0.0 for k in algo.LOG_KEYS}
+    for s in range(steps):
+        state = step(state, cache_l, cache_u,
+                     jnp.asarray(idx_steps[s], jnp.int32),
+                     jnp.arange(s * B_U, (s + 1) * B_U, dtype=jnp.int32),
+                     jnp.asarray(1, jnp.int32))
+        sums = {k: float(v) for k, v in state.log_sums.items()}
+        our_step_logs.append({k: sums[k] - prev[k] for k in sums})
+        prev = sums
+
+    # ---- torch twin ---------------------------------------------------
+    t = lambda a: torch.tensor(np.asarray(a))
+    bank_t, bank_labels_t = t(bank0), t(bank_labels0)
+    for s in range(steps):
+        logs, bank_t, bank_labels_t = torch_simmatch_step(
+            tm, ema, t(imgs_l[idx_steps[s]].transpose(0, 3, 1, 2)),
+            t(img_u[s * B_U:(s + 1) * B_U].transpose(0, 3, 1, 2)),
+            t(ys_l[idx_steps[s]]), t(idx_steps[s]),
+            bank_t, bank_labels_t, lr=0.0)
+        for k, v in logs.items():
+            np.testing.assert_allclose(
+                our_step_logs[s][k], v, rtol=2e-3, atol=2e-4,
+                err_msg=f"step {s} log {k}")
+
+    # bank contents + labels after 3 scatters at distinct index sets
+    np.testing.assert_allclose(np.asarray(state.extra["bank"]),
+                               bank_t.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(state.extra["bank_labels"]), bank_labels_t.numpy())
+
+    # EMAN teacher after 3 compounding lerps; student BN stats after 3
+    # train-mode forwards
+    conv_post, _ = convert_torch_state_dict(_to_sd(ema), variables)
+    for ours_t, ref_t, tol in (
+            (state.ema_params, conv_post["params"], 1e-4),
+            (state.ema_batch_stats, conv_post["batch_stats"], 1e-3)):
+        jax.tree_util.tree_map(
+            lambda a, b, tol=tol: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=tol, atol=1e-5),
+            ours_t, ref_t)
+    conv_student, _ = convert_torch_state_dict(_to_sd(tm), variables)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
+        state.batch_stats, conv_student["batch_stats"])
