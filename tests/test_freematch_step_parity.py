@@ -59,11 +59,11 @@ def torch_entropy_loss(mask, logits_s, prob_model, label_hist):
 
 
 def torch_freematch_step(tm, ema, img_x, img_u, y_l, time_p, p_model,
-                         label_hist):
-    """One reference FreeMatch training step + SGD(LR) update. Returns
+                         label_hist, lr=LR):
+    """One reference FreeMatch training step + SGD(lr) update. Returns
     (logs, time_p, p_model, label_hist); mutates tm/ema in place."""
     tm.train()
-    opt = torch.optim.SGD(tm.parameters(), lr=LR)
+    opt = torch.optim.SGD(tm.parameters(), lr=lr)
 
     # student on cat(x, u_s) — identity views: u_s = u_w = img_u
     logits_q, _ = tm(torch.cat([img_x, img_u]))
@@ -235,3 +235,117 @@ def test_freematch_train_step_golden_vs_torch():
     rel = np.linalg.norm(ga - gb) / max(np.linalg.norm(gb), 1e-8)
     assert np.linalg.norm(gb) > 1e-3
     assert rel < 0.02, rel
+
+
+def test_freematch_three_step_state_trajectory_vs_torch():
+    """3-step state trajectory at lr=0: the self-adaptive EMA scalars
+    (time_p / p_model / label_hist at m=0.999) compound across steps on
+    fresh unlabeled batches, together with EMAN teacher compounding and
+    BN running-stat accumulation — completing the cross-step threading
+    trio (SimMatch bank, CoMatch rings, FreeMatch scalars)."""
+    steps = 3
+    torch.manual_seed(7)
+    tm = TSimMatchNet()
+    torch.manual_seed(11)
+    ema = TSimMatchNet()
+    with torch.no_grad():
+        for net in (tm, ema):
+            for mod in net.modules():
+                if isinstance(mod, nn.BatchNorm2d):
+                    mod.running_mean.normal_(0, 0.05)
+                    mod.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.RandomState(41)
+    img_x = rng.rand(steps * B_L, IMG, IMG, 3).astype(np.float32)
+    y_l = rng.randint(0, NCLS, steps * B_L).astype(np.int64)
+    img_u = rng.rand(steps * B_U, IMG, IMG, 3).astype(np.float32)
+    time_p0 = np.float32(0.2627)
+    p_model0 = np.full((NCLS,), 1.0 / NCLS, np.float32)
+    label_hist0 = rng.dirichlet(np.ones(NCLS)).astype(np.float32)
+
+    cfg = _Cfg(
+        algorithm_name="FreeMatch", eval_datatype="imaging",
+        model="resnet18", num_classes=NCLS, projection_dim=16,
+        lambda_u=LAMBDA_U, lambda_e=LAMBDA_E, start_epoch=0,
+        ema_momentum=MOMENTUM, use_ema=True, eman=True,
+        lr_eval=0.0, weight_decay_eval=0.0, img_size=IMG,
+        eval_train_augment_rate=0.0, augmentation_rate=0.0,
+        corruption_rate=0.0, target="dvm", embedding_dropout=0.0,
+        drop_rate=0.0)
+    algo = FreeMatch(cfg, [1], dtype=jnp.float32)
+    ident = lambda k, im, apply_rate=1.0: im.astype(jnp.float32)
+    algo.aug_labeled = ident
+    algo.aug_weak = ident
+    algo.aug_strong = ident
+    algo.tx = optax.sgd(0.0)
+
+    state = algo.init_state(jax.random.key(0),
+                            jnp.asarray(img_x[:2]),
+                            jnp.zeros((2, 1), jnp.float32))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    converted, leftovers = convert_torch_state_dict(_to_sd(tm), variables)
+    assert not leftovers, leftovers
+    conv_ema, _ = convert_torch_state_dict(_to_sd(ema), variables)
+    state = dataclasses.replace(
+        state, params=converted["params"],
+        batch_stats=converted["batch_stats"],
+        opt_state=algo.tx.init(converted["params"]),
+        ema_params=conv_ema["params"],
+        ema_batch_stats=conv_ema["batch_stats"],
+        extra={"p_model": jnp.asarray(p_model0),
+               "label_hist": jnp.asarray(label_hist0),
+               "time_p": jnp.asarray(time_p0)})
+
+    cache_l = {"images": jnp.asarray(img_x),
+               "tabular": jnp.zeros((steps * B_L, 1), jnp.float32),
+               "labels": jnp.asarray(y_l),
+               "labelled": jnp.ones((steps * B_L,), bool)}
+    cache_u = {"images": jnp.asarray(img_u),
+               "tabular": jnp.zeros((steps * B_U, 1), jnp.float32),
+               "labels": jnp.zeros((steps * B_U,), jnp.int32),
+               "labelled": jnp.zeros((steps * B_U,), bool)}
+    step = algo.make_train_step()
+    our_step_logs = []
+    prev = {k: 0.0 for k in algo.LOG_KEYS}
+    for s in range(steps):
+        state = step(state, cache_l, cache_u,
+                     jnp.arange(s * B_L, (s + 1) * B_L, dtype=jnp.int32),
+                     jnp.arange(s * B_U, (s + 1) * B_U, dtype=jnp.int32),
+                     jnp.asarray(1, jnp.int32))
+        sums = {k: float(v) for k, v in state.log_sums.items()}
+        our_step_logs.append({k: sums[k] - prev[k] for k in sums})
+        prev = sums
+
+    t = lambda a: torch.tensor(np.asarray(a))
+    tp, pm, lh = t(time_p0), t(p_model0), t(label_hist0)
+    for s in range(steps):
+        logs, tp, pm, lh = torch_freematch_step(
+            tm, ema,
+            t(img_x[s * B_L:(s + 1) * B_L].transpose(0, 3, 1, 2)),
+            t(img_u[s * B_U:(s + 1) * B_U].transpose(0, 3, 1, 2)),
+            t(y_l[s * B_L:(s + 1) * B_L]), tp, pm, lh, lr=0.0)
+        for k, v in logs.items():
+            np.testing.assert_allclose(
+                our_step_logs[s][k], v, rtol=2e-3, atol=2e-4,
+                err_msg=f"step {s} log {k}")
+
+    np.testing.assert_allclose(float(state.extra["time_p"]),
+                               float(tp), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(state.extra["p_model"]),
+                               pm.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state.extra["label_hist"]),
+                               lh.numpy(), rtol=1e-4, atol=1e-6)
+
+    conv_post, _ = convert_torch_state_dict(_to_sd(ema), variables)
+    for ours_t, ref_t, tol in (
+            (state.ema_params, conv_post["params"], 1e-4),
+            (state.ema_batch_stats, conv_post["batch_stats"], 1e-3)):
+        jax.tree_util.tree_map(
+            lambda a, b, tol=tol: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=tol, atol=1e-5),
+            ours_t, ref_t)
+    conv_student, _ = convert_torch_state_dict(_to_sd(tm), variables)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
+        state.batch_stats, conv_student["batch_stats"])
