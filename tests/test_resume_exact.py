@@ -42,20 +42,22 @@ def _restore(logdir):
     return restore_checkpoint(logdir, state, name="checkpoint_last")
 
 
-def test_resume_matches_uninterrupted(tmp_path):
+@pytest.mark.parametrize("host_stream", ["false", "true"])
+def test_resume_matches_uninterrupted(tmp_path, host_stream):
     import run as run_mod
 
+    hs = f"host_stream={host_stream}"
     a = tmp_path / "straight"
     b = tmp_path / "interrupted"
 
     # A: two epochs uninterrupted
-    assert run_mod.main(COMMON + ["max_epochs=2",
+    assert run_mod.main(COMMON + [hs, "max_epochs=2",
                                   f"logdir={a}"]) == 0
     # B: one epoch, then resume from the crash-recovery snapshot
-    assert run_mod.main(COMMON + ["max_epochs=1",
+    assert run_mod.main(COMMON + [hs, "max_epochs=1",
                                   f"logdir={b}"]) == 0
     assert run_mod.main(COMMON + [
-        "max_epochs=2", "resume_training=true",
+        hs, "max_epochs=2", "resume_training=true",
         f"checkpoint={b}/checkpoint_last", f"logdir={b}"]) == 0
 
     sa = _restore(a)
