@@ -2,11 +2,12 @@
 ``tools/export_torch_checkpoint.py`` emits the reference's Lightning
 key layout, and ``tools/convert_torch_checkpoint.py`` reimports it —
 params, EMA, BN stats, and every Lightning-level buffer round-trip
-exactly. Three representative layouts:
+exactly. Four layouts:
 
-- STiL: sibling ``model.`` / ``ema.`` + prototypes/prototype-sums/DA
+- STiL: sibling ``model.`` / ``ema.`` + prototypes/prototype-sums
 - SimMatch (wrapped): ``model.main.`` / ``model.ema.`` + bank/labels/DA
 - MMatch (no EMA): ``model.`` + embed/probs queues + DA
+- CoMatch (wrapped): both feature/probs queue pairs + ring pointers
 """
 
 import dataclasses
@@ -182,3 +183,35 @@ def test_mmatch_cli_roundtrip(tmp_path):
     if state.da is not None:
         np.testing.assert_array_equal(np.asarray(state.da.queue),
                                       np.asarray(back.da.queue))
+
+
+def test_comatch_cli_roundtrip(tmp_path):
+    rng = np.random.RandomState(3)
+
+    def mutate(state):
+        extra = dict(state.extra)
+        k = extra["queue_s"].shape[1]
+        c = NUM_CLASSES
+        extra["queue_s"] = jnp.asarray(rng.randn(8, k), jnp.float32)
+        extra["probs_u"] = jnp.asarray(rng.rand(c, k), jnp.float32)
+        extra["queue_w"] = jnp.asarray(rng.randn(8, k), jnp.float32)
+        extra["probs_xu"] = jnp.asarray(rng.rand(c, k), jnp.float32)
+        extra["ptr_s"] = jnp.asarray(5, jnp.int32)
+        extra["ptr_w"] = jnp.asarray(9, jnp.int32)
+        return dataclasses.replace(state, extra=extra)
+
+    state, back, sd = _roundtrip(tmp_path, "config_dvm_CoMatch", mutate)
+    # wrapped layout + all six queue buffers under reference names
+    assert any(k.startswith("model.main.") for k in sd)
+    assert any(k.startswith("model.ema.") for k in sd)
+    assert {"model.queue_s", "model.queue_ptr_s", "model.probs_u",
+            "model.queue_w", "model.queue_ptr_w",
+            "model.probs_xu"} <= set(sd)
+    _assert_tree_equal(state.params, back.params, "params")
+    _assert_tree_equal(state.ema_params, back.ema_params, "ema")
+    for key in ("queue_s", "probs_u", "queue_w", "probs_xu"):
+        np.testing.assert_array_equal(np.asarray(state.extra[key]),
+                                      np.asarray(back.extra[key]),
+                                      err_msg=key)
+    assert int(back.extra["ptr_s"]) == 5
+    assert int(back.extra["ptr_w"]) == 9
