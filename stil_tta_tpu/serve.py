@@ -28,10 +28,31 @@ from stil_tta_tpu.train.checkpoint import restore_checkpoint
 
 
 class Predictor:
-    def __init__(self, algo, state, batch_size: int = 256):
+    """Fixed-shape batched predictor.
+
+    ``mesh`` (a 1-axis ``jax.sharding.Mesh``) turns on SPMD data-parallel
+    serving: weights replicated once at construction, every call's batch
+    sharded over the ``data`` axis, per-sample math unchanged (GSPMD —
+    the serving analogue of the training mesh, ``parallel/mesh.py``).
+    ``batch_size`` is the *global* batch and is rounded up to a multiple
+    of the mesh size so each device gets an equal static shard.
+    """
+
+    def __init__(self, algo, state, batch_size: int = 256, mesh=None):
         self.algo = algo
-        self.params = state.params
-        self.batch_stats = state.batch_stats
+        self.mesh = mesh
+        if mesh is not None:
+            from stil_tta_tpu.parallel.mesh import (batch_sharding,
+                                                    replicate)
+            n_dev = mesh.devices.size
+            batch_size = -(-batch_size // n_dev) * n_dev
+            self.params = replicate(mesh, state.params)
+            self.batch_stats = replicate(mesh, state.batch_stats)
+            self._batch_shard = batch_sharding(mesh)
+        else:
+            self.params = state.params
+            self.batch_stats = state.batch_stats
+            self._batch_shard = None
         self.batch_size = batch_size
         net, aug = algo.net, algo.aug_eval
 
@@ -50,9 +71,15 @@ class Predictor:
         from stil_tta_tpu.utils.jax_setup import lazy_tuned
         self._fwd = lazy_tuned(jax.jit(fwd))
 
+    def _put(self, arr: np.ndarray):
+        if self._batch_shard is not None:
+            return jax.device_put(arr, self._batch_shard)
+        return jnp.asarray(arr)
+
     @classmethod
     def from_checkpoint(cls, cfg, checkpoint: str,
-                        field_lengths=None, batch_size: int = 256):
+                        field_lengths=None, batch_size: int = 256,
+                        data_parallel: bool = False):
         field_lengths = list(field_lengths or cfg.field_lengths)
         algo = get_algorithm(cfg.algorithm_name)(cfg, field_lengths)
         img = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
@@ -60,7 +87,11 @@ class Predictor:
         state = algo.init_state(jax.random.key(0), img, tab)
         ckpt = Path(checkpoint)
         state = restore_checkpoint(ckpt.parent, state, name=ckpt.name)
-        return cls(algo, state, batch_size)
+        mesh = None
+        if data_parallel:
+            from stil_tta_tpu.parallel.mesh import create_mesh
+            mesh = create_mesh()
+        return cls(algo, state, batch_size, mesh=mesh)
 
     def __call__(self, images: np.ndarray,
                  tabular: np.ndarray) -> np.ndarray:
@@ -77,7 +108,7 @@ class Predictor:
                 img = np.concatenate([img, np.repeat(img[:1], pad, 0)])
                 tab = np.concatenate([tab, np.repeat(tab[:1], pad, 0)])
             outs.append((self._fwd(self.params, self.batch_stats,
-                                   jnp.asarray(img), jnp.asarray(tab)),
+                                   self._put(img), self._put(tab)),
                          pad))
         return np.concatenate([np.asarray(p)[:bs - pad] if pad
                                else np.asarray(p) for p, pad in outs])
@@ -91,6 +122,9 @@ def main():
                     help="native-format split directory to score")
     ap.add_argument("--out", default="predictions.csv")
     ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard each batch over all local devices "
+                         "(SPMD data-parallel serving)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -100,7 +134,8 @@ def main():
     cfg.num_classes = cfg.num_classes or src.num_classes
     predictor = Predictor.from_checkpoint(cfg, args.checkpoint,
                                           src.field_lengths,
-                                          args.batch_size)
+                                          args.batch_size,
+                                          data_parallel=args.data_parallel)
     probs = predictor(np.asarray(src.images), src.tabular)
     pred = probs.argmax(1)
     acc = float((pred == src.labels).mean())

@@ -44,3 +44,27 @@ def _run_bench(monkeypatch, capsys, mode):
 @pytest.mark.parametrize("mode", ["device_cache", "host_stream"])
 def test_bench_smoke(monkeypatch, capsys, mode):
     _run_bench(monkeypatch, capsys, mode)
+
+
+@pytest.mark.parametrize("dp", ["", "1"])
+def test_bench_infer_smoke(monkeypatch, capsys, dp):
+    """tools/bench_infer.py (serving throughput) end to end on CPU at
+    tiny shapes, single-device and 8-device data-parallel."""
+    for k, v in {"STIL_INFER_MODEL": "resnet18", "STIL_INFER_BATCH": "8",
+                 "STIL_INFER_IMG": "32", "STIL_INFER_CLASSES": "4",
+                 "STIL_INFER_CALLS": "2", "STIL_INFER_DP": dp}.items():
+        monkeypatch.setenv(k, v)
+    spec = importlib.util.spec_from_file_location(
+        f"bench_infer_{dp or 'single'}", ROOT / "tools" / "bench_infer.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m.main()
+    out = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("{")]
+    assert out, "bench_infer printed no JSON line"
+    rec = json.loads(out[-1])
+    assert rec["metric"] == "stil_dvm_infer_samples_per_sec_per_chip"
+    assert rec["value"] > 0
+    assert rec["ms_per_batch"] > 0
+    assert rec["batch_size"] == 8
+    assert rec["n_devices"] == (8 if dp else 1)

@@ -79,6 +79,35 @@ def test_predictor_serving(tmp_path):
     np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
 
 
+def test_predictor_serving_data_parallel():
+    """SPMD serving: batch sharded over the 8-device mesh gives the same
+    probabilities as single-device serving (per-sample math unchanged;
+    GSPMD only splits the batch axis)."""
+    from stil_tta_tpu.parallel.mesh import create_mesh
+    from stil_tta_tpu.serve import Predictor
+    from stil_tta_tpu.algorithms.registry import get_algorithm
+    from tests.helpers import IMG, tiny_cfg, tiny_data
+
+    cfg = tiny_cfg("config_dvm_STiL")
+    algo = get_algorithm("STiL")(cfg, cfg.field_lengths)
+    src, _ = tiny_data(n_l=10)
+    state = algo.init_state(jax.random.key(0),
+                            jnp.zeros((2, IMG, IMG, 3), jnp.float32),
+                            jnp.asarray(src.tabular[:2]))
+    base = Predictor(algo, state, batch_size=8)(
+        np.asarray(src.images), src.tabular)
+
+    mesh = create_mesh(8)
+    pred = Predictor(algo, state, batch_size=6, mesh=mesh)
+    assert pred.batch_size == 8  # global batch rounded up to mesh size
+    probs = pred(np.asarray(src.images), src.tabular)
+    assert probs.shape == (10, cfg.num_classes)
+    # bf16 forward: per-device tiling changes accumulation order; same
+    # tolerance family as the training-mesh tests (test_mesh.py)
+    np.testing.assert_allclose(probs, base, atol=2e-3)
+    assert np.argmax(probs, 1).tolist() == np.argmax(base, 1).tolist()
+
+
 def test_attention_capture():
     from stil_tta_tpu.models.tabular_transformer import \
         TabularTransformerEncoder
