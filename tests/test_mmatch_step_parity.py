@@ -80,11 +80,11 @@ class TSemiBackbone(nn.Module):
 
 
 def torch_mmatch_step(tm, img, tab, y_l, bank, probs_bank, ptr,
-                      da_queue, da_ptr):
-    """One reference MMatch training step + SGD(LR) update. Returns
+                      da_queue, da_ptr, k=K, lr=LR):
+    """One reference MMatch training step + SGD(lr) update. Returns
     (logs, bank, probs_bank, ptr, da_queue, da_ptr); mutates tm."""
     tm.train()
-    opt = torch.optim.SGD(tm.parameters(), lr=LR)
+    opt = torch.optim.SGD(tm.parameters(), lr=lr)
 
     om, oi, ot, x_m = tm(img, tab)
     feat_m = F.normalize(x_m.detach(), dim=1)
@@ -127,11 +127,11 @@ def torch_mmatch_step(tm, img, tab, y_l, bank, probs_bank, ptr,
         bank, probs_bank = bank.clone(), probs_bank.clone()
         bs = feat_m.shape[0]
         p = int(ptr)
-        if p + bs > K:
-            bs = K - p
+        if p + bs > k:
+            bs = k - p
         bank[:, p:p + bs] = feat_m[:bs].t()
         probs_bank[:, p:p + bs] = pseudo_all[:bs].t()
-        ptr = (p + bs) % K
+        ptr = (p + bs) % k
 
     f = lambda t: float(t.detach())
     return ({"loss": f(loss), "CEloss": f(loss_ce),
@@ -265,3 +265,145 @@ def test_mmatch_train_step_golden_vs_torch():
     rel = np.linalg.norm(ga - gb) / max(np.linalg.norm(gb), 1e-8)
     assert np.linalg.norm(gb) > 1e-3
     assert rel < 0.02, rel
+
+
+def test_mmatch_three_step_state_trajectory_vs_torch():
+    """3-step state-machine trajectory vs the torch twin at lr=0 —
+    completes the cross-step threading quartet (SimMatch bank / CoMatch
+    rings / FreeMatch scalars / MMatch bank+DA). MMatch has no EMA: its
+    cross-step state IS the memory-bank ring + the DA history, and the
+    memory smoothing reads the *evolving* bank each step. K=24 with a
+    full-batch enqueue of 16 exercises both ring paths over the run:
+    boundary truncation (step 1: 10->24 writes 14 rows, step 3: 16->24
+    writes 8) and a clean interior write (step 2: 0->16). BN running
+    stats accumulate over 3 train-mode forwards on both sides."""
+    steps = 3
+    kq = 24          # bank size for this test (reference: 640)
+    n_l = 12
+    torch.manual_seed(7)
+    tm = TSemiBackbone()
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, nn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.05)
+                mod.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.RandomState(44)
+    imgs_l = rng.rand(n_l, IMG, IMG, 3).astype(np.float32)
+    img_u = rng.rand(steps * B_U, IMG, IMG, 3).astype(np.float32)
+    mk_tab = lambda n: np.concatenate(
+        [np.stack([rng.randint(0, c, n) for c in CATS], 1),
+         rng.randn(n, NCON)], 1).astype(np.float32)
+    tabs_l, tab_u = mk_tab(n_l), mk_tab(steps * B_U)
+    ys_l = rng.randint(0, NCLS, n_l).astype(np.int64)
+    idx_steps = [rng.choice(n_l, B_L, replace=False).astype(np.int64)
+                 for _ in range(steps)]
+
+    bank0 = rng.randn(PROJ, kq).astype(np.float32)
+    bank0 /= np.linalg.norm(bank0, axis=0, keepdims=True)
+    probs_bank0 = rng.dirichlet(np.ones(NCLS), kq).astype(np.float32).T
+    da_queue0 = np.zeros((DA_LEN, NCLS), np.float32)
+    da_queue0[:HIST_FILL] = rng.dirichlet(np.ones(NCLS), HIST_FILL)
+    da_ptr0 = HIST_FILL
+
+    # ---- our side -----------------------------------------------------
+    field_lengths = list(CATS) + [1] * NCON
+    cfg = _Cfg(
+        algorithm_name="MMatch", eval_datatype="imaging_and_tabular",
+        model="resnet18", num_classes=NCLS, projection_dim=PROJ,
+        tabular_embedding_dim=DIM, multimodal_embedding_dim=DIM,
+        tabular_transformer_num_layers=1, alpha=ALPHA, mmatch_lambda=LAM,
+        th1=TH1, temperature=TEMP, start_epoch=0, DA=True,
+        use_ema=False, eman=False, ema_momentum=0.99,
+        lr_eval=0.0, weight_decay_eval=0.0, img_size=IMG,
+        eval_train_augment_rate=0.0, augmentation_rate=0.0,
+        corruption_rate=0.0, crop_scale_lower=0.08, target="dvm",
+        embedding_dropout=0.0, drop_rate=0.0)
+    algo = MMatch(cfg, field_lengths, dtype=jnp.float32)
+    algo.contrastive_views = lambda key, images, tabular, marginal: (
+        images.astype(jnp.float32), tabular)
+    algo.tx = optax.sgd(0.0)
+
+    state = algo.init_state(jax.random.key(0), jnp.asarray(imgs_l[:2]),
+                            jnp.asarray(tabs_l[:2]))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    sd = {"model." + k: v.numpy() for k, v in tm.state_dict().items()}
+    converted, leftovers = convert_torch_state_dict(sd, variables)
+    assert not leftovers, leftovers
+    state = dataclasses.replace(
+        state, params=converted["params"],
+        batch_stats=converted["batch_stats"],
+        opt_state=algo.tx.init(converted["params"]),
+        da=DAState(jnp.asarray(da_queue0),
+                   jnp.asarray(da_ptr0, jnp.int32)),
+        extra={"embed_queue": jnp.asarray(bank0),
+               "probs_queue": jnp.asarray(probs_bank0),
+               "ptr": jnp.asarray(PTR0, jnp.int32)})
+
+    cache_l = {"images": jnp.asarray(imgs_l),
+               "tabular": jnp.asarray(tabs_l),
+               "labels": jnp.asarray(ys_l),
+               "labelled": jnp.ones((n_l,), bool)}
+    cache_u = {"images": jnp.asarray(img_u),
+               "tabular": jnp.asarray(tab_u),
+               "labels": jnp.zeros((steps * B_U,), jnp.int32),
+               "labelled": jnp.zeros((steps * B_U,), bool)}
+    step = algo.make_train_step()
+    our_step_logs = []
+    prev = {}
+    for s in range(steps):
+        state = step(state, cache_l, cache_u,
+                     jnp.asarray(idx_steps[s], jnp.int32),
+                     jnp.arange(s * B_U, (s + 1) * B_U, dtype=jnp.int32),
+                     jnp.asarray(EPOCH, jnp.int32))
+        sums = {k: float(v) for k, v in state.log_sums.items()}
+        our_step_logs.append({k: sums[k] - prev.get(k, 0.0)
+                              for k in sums})
+        prev = sums
+
+    # ---- torch twin ---------------------------------------------------
+    t = lambda a: torch.tensor(np.asarray(a))
+    bank_t, probs_bank_t = t(bank0), t(probs_bank0)
+    da_q_t, da_ptr_t, ptr_t = t(da_queue0), da_ptr0, PTR0
+    ptr_trace, split_steps = [], 0
+    for s in range(steps):
+        u = slice(s * B_U, (s + 1) * B_U)
+        logs, bank_t, probs_bank_t, ptr_t, da_q_t, da_ptr_t = \
+            torch_mmatch_step(
+                tm,
+                t(np.concatenate([imgs_l[idx_steps[s]], img_u[u]]
+                                 ).transpose(0, 3, 1, 2)),
+                t(np.concatenate([tabs_l[idx_steps[s]], tab_u[u]])),
+                t(ys_l[idx_steps[s]]), bank_t, probs_bank_t, ptr_t,
+                da_q_t, da_ptr_t, k=kq, lr=0.0)
+        ptr_trace.append(ptr_t)
+        split_steps += 0.0 < logs["threshold1_ratio"] < 1.0
+        for k, v in logs.items():
+            np.testing.assert_allclose(
+                our_step_logs[s][k], v, rtol=2e-3, atol=2e-4,
+                err_msg=f"step {s} log {k}")
+    # the trajectory must actually exercise both ring paths and a real
+    # threshold split, or the test doesn't bite
+    assert ptr_trace == [0, B_L + B_U, 0]
+    assert split_steps >= 1
+
+    # DA ring after 3 appended batch means
+    np.testing.assert_allclose(np.asarray(state.da.queue),
+                               da_q_t.numpy(), rtol=1e-4, atol=1e-6)
+    assert int(state.da.ptr) == da_ptr_t
+
+    # bank after truncation / interior / truncation writes
+    assert int(state.extra["ptr"]) == ptr_t
+    np.testing.assert_allclose(np.asarray(state.extra["embed_queue"]),
+                               bank_t.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(state.extra["probs_queue"]),
+                               probs_bank_t.numpy(), rtol=2e-3, atol=2e-4)
+
+    # student BN stats after 3 train-mode forwards
+    conv_student, _ = convert_torch_state_dict(
+        {"model." + k: v.numpy() for k, v in tm.state_dict().items()},
+        variables)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
+        state.batch_stats, conv_student["batch_stats"])
