@@ -51,13 +51,25 @@ def main():
     u_batch = batch_size - l_batch     # 448
     img_size = int(os.environ.get("STIL_BENCH_IMG", "128"))
     num_classes = int(os.environ.get("STIL_BENCH_CLASSES", "286"))
-    field_lengths = [20, 10, 5, 3] + [1] * 13  # 4 cat + 13 con (DVM)
+    # STIL_BENCH_FIELDS: dvm (default) | cardiac (26 cat + 49 con,
+    # the UKBB table shape) | explicit comma list
+    fields = os.environ.get("STIL_BENCH_FIELDS", "dvm")
+    if fields == "dvm":
+        field_lengths = [20, 10, 5, 3] + [1] * 13  # 4 cat + 13 con
+    elif fields == "cardiac":
+        field_lengths = [2] * 20 + [3, 4, 5, 6, 7, 8] + [1] * 49
+    else:
+        field_lengths = [int(x) for x in fields.split(",")]
 
     model = os.environ.get("STIL_BENCH_MODEL", "resnet50")
-    cfg = load_config("config_dvm_STiL", overrides=[
+    # STIL_BENCH_CONFIG selects the algorithm family / dataset recipe
+    # (e.g. config_dvm_STiL_SAINT, config_cardiac_STiL) — the default
+    # remains the driver's headline contract, byte-identical
+    config_name = os.environ.get("STIL_BENCH_CONFIG", "config_dvm_STiL")
+    cfg = load_config(config_name, overrides=[
         "dataset=synthetic_dvm", f"models={model}",
         f"batch_size={batch_size}", f"num_classes={num_classes}",
-        "start_epoch=0", "tta=false",
+        f"img_size={img_size}", "start_epoch=0", "tta=false",
     ])
     cfg.field_lengths = field_lengths
     cfg.repeat_ratio = 1
@@ -71,7 +83,12 @@ def main():
                              field_lengths=field_lengths,
                              image_size=img_size, labelled_frac=0.0, seed=1)
 
-    algo = get_algorithm("STiL")(cfg, field_lengths)
+    # SimMatch sizes its instance bank to the labeled set, exactly as
+    # the training driver wires it (train/evaluate.py:161-164)
+    if cfg.algorithm_name == "SimMatch" and not cfg.K:
+        cfg.K = len(src_l)
+
+    algo = get_algorithm(cfg.algorithm_name)(cfg, field_lengths)
     cache_l = DeviceCache(src_l).as_dict()
     cache_u = DeviceCache(src_u).as_dict()
 
@@ -212,8 +229,12 @@ def main():
     except Exception:
         pass  # plain-jit fallback path (non-TPU) has no AOT executable
 
+    metric = ("stil_dvm_train_samples_per_sec_per_chip"
+              if config_name == "config_dvm_STiL" else
+              config_name.replace("config_", "").lower()
+              + "_train_samples_per_sec_per_chip")
     print(json.dumps({
-        "metric": "stil_dvm_train_samples_per_sec_per_chip",
+        "metric": metric,
         "value": round(samples_per_sec, 2),
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec

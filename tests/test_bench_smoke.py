@@ -46,6 +46,34 @@ def test_bench_smoke(monkeypatch, capsys, mode):
     _run_bench(monkeypatch, capsys, mode)
 
 
+@pytest.mark.parametrize("config,metric_prefix", [
+    ("config_dvm_SimMatch", "dvm_simmatch"),
+    ("config_dvm_STiL_SAINT", "dvm_stil_saint"),
+])
+def test_bench_config_knob(monkeypatch, capsys, config, metric_prefix):
+    """STIL_BENCH_CONFIG swaps the algorithm family / recipe: the algo
+    is resolved from cfg.algorithm_name, SimMatch's bank is sized to
+    the synthetic labeled set (mirroring train/evaluate.py), and the
+    metric name is derived from the config so BENCH json lines from
+    different recipes never collide."""
+    for k, v in TINY.items():
+        monkeypatch.setenv(k, v)
+    monkeypatch.setenv("STIL_BENCH_INPUT", "device_cache")
+    monkeypatch.setenv("STIL_BENCH_CONFIG", config)
+    spec = importlib.util.spec_from_file_location(
+        f"bench_{config}", ROOT / "bench.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m.main()
+    out = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("{")]
+    assert out, "bench printed no JSON line"
+    rec = json.loads(out[-1])
+    assert rec["metric"] == (
+        metric_prefix + "_train_samples_per_sec_per_chip")
+    assert rec["value"] > 0
+
+
 @pytest.mark.parametrize("dp", ["", "1"])
 def test_bench_infer_smoke(monkeypatch, capsys, dp):
     """tools/bench_infer.py (serving throughput) end to end on CPU at
