@@ -133,7 +133,8 @@ def main():
         marg_u = jax.device_put(np.asarray(src_u.tabular, np.float32))
         il = jnp.arange(l_batch, dtype=jnp.int32)
         iu = jnp.arange(u_batch, dtype=jnp.int32)
-        keys = ("images", "tabular", "labels", "labelled", "missing")
+        keys = ("images", "tabular", "labels", "labelled", "missing",
+                "index")
         blocks = zip(l_stream.epoch_blocks(k, steps),
                      u_stream.epoch_blocks(k, steps))
 
@@ -158,6 +159,14 @@ def main():
         n_steps = n_calls * k
         assert int(state.step) == n_steps + k
         dt = time.perf_counter() - t0
+        # single-STEP lowering args for the cost-analysis fallback: one
+        # batch-shaped virtual cache + identity (arange) gather indices
+        fallback_args = (state,
+                         dict({kk: v[0] for kk, v in vl.items()},
+                              marginal=marg_l),
+                         dict({kk: v[0] for kk, v in vu.items()},
+                              marginal=marg_u),
+                         il, iu, epoch)
     else:
         from stil_tta_tpu.train.multistep import make_scan_train_step
         scan_step = make_scan_train_step(train_step, k)
@@ -189,6 +198,7 @@ def main():
         n_steps = n_calls * k
         assert int(state.step) == n_steps + k
         dt = time.perf_counter() - t0
+        fallback_args = (state, cache_l, cache_u, il[0], iu[0], epoch)
 
     samples_per_sec = n_steps * batch_size / dt
     ms_per_step = dt / n_steps * 1e3
@@ -206,8 +216,7 @@ def main():
         # TPU client, so use the executable.
         ca = scan_step.cost_analysis()
         if ca is None:
-            ca = train_step.lower(state, cache_l, cache_u, il[0],
-                                  iu[0], epoch).cost_analysis()
+            ca = train_step.lower(*fallback_args).cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops_per_step = float(ca["flops"])

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from stil_tta_tpu.algorithms.base import distribution_alignment, ema_update
 from stil_tta_tpu.algorithms.match_common import MatchBase, MatchState
-from stil_tta_tpu.data.loader import gather_batch, marginal_table
+from stil_tta_tpu.data.loader import (dataset_indices, gather_batch,
+                                       marginal_table)
 from stil_tta_tpu.losses import cross_entropy, soft_cross_entropy
 
 
@@ -143,9 +144,12 @@ class SimMatch(MatchBase):
                 lambda p, u: p + u.astype(p.dtype), state.params, updates)
 
             # instance-bank scatter update (:140-147): teacher embeddings
-            # of the labeled batch at their dataset indices
-            new_bank = bank.at[:, idx_l].set(feat_kx.T)
-            new_bank_labels = bank_labels.at[idx_l].set(y_l)
+            # of the labeled batch at their DATASET indices (host-stream
+            # virtual caches carry them under "index"; the raw gather
+            # index there is just arange(B))
+            ds_l = dataset_indices(cache_l, idx_l)
+            new_bank = bank.at[:, ds_l].set(feat_kx.T)
+            new_bank_labels = bank_labels.at[ds_l].set(y_l)
 
             prob_x = jax.nn.softmax(logits_qx, axis=1)
             prob_u = jax.nn.softmax(logits_qu, axis=1)

@@ -46,6 +46,7 @@ from stil_tta_tpu.data.loader import gather_batch, marginal_table
 from stil_tta_tpu.losses import (club_losses, clip_loss, cross_entropy,
                                  prototype_loss, soft_cross_entropy)
 from stil_tta_tpu.losses.club import CLUBMean
+from stil_tta_tpu.losses.common import at_least_f32
 from stil_tta_tpu.models.backbones import DisCoBackbone
 from stil_tta_tpu.models.layers import SimCLRProjectionHead
 from stil_tta_tpu.ops.metrics import (AccuracyState, AUROCState,
@@ -56,7 +57,7 @@ from stil_tta_tpu.train.optim import build_optimizer
 
 
 def _l2norm(x):
-    x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    x = at_least_f32(x)
     return x / jnp.clip(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
 
 

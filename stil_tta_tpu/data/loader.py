@@ -159,6 +159,19 @@ def gather_batch(cache: dict, idx: jax.Array) -> dict:
     return out
 
 
+def dataset_indices(cache: dict, idx: jax.Array) -> jax.Array:
+    """True dataset indices of the rows ``gather_batch(cache, idx)``
+    returns. For a :class:`DeviceCache` the gather index IS the dataset
+    index; a :class:`HostStream` virtual cache is already batch-shaped
+    (``idx`` is ``arange(B)``) and carries the sampled dataset indices
+    under ``"index"``. Algorithms with index-addressed state (SimMatch's
+    instance bank, ``simmatch_model.py:140-147``) must use this instead
+    of the raw gather index."""
+    if "index" in cache:
+        return jnp.take(cache["index"], idx, axis=0)
+    return idx
+
+
 class HostStream:
     """Fallback for > HBM datasets: host gathers batch slices from
     memmaps, a worker thread keeps `depth` batches in flight on device."""
@@ -177,6 +190,7 @@ class HostStream:
             "tabular": self.source.tabular[idx],
             "labels": self.source.labels[idx].astype(np.int32),
             "labelled": self.source.labelled[idx],
+            "index": np.ascontiguousarray(idx, np.int32),
             "weight": w,
         }
         if self.source.missing is not None:
@@ -201,6 +215,7 @@ class HostStream:
             "labels": resh(self.source.labels[idx].astype(np.int32)),
             "labelled": resh(np.ascontiguousarray(
                 self.source.labelled[idx])),
+            "index": resh(np.ascontiguousarray(idx, np.int32)),
         }
         if self.source.missing is not None:
             batch["missing"] = resh(np.ascontiguousarray(

@@ -263,22 +263,32 @@ def assemble_raw_dvm(ad_df, image_df, physical_df,
     physical = jitter_physical(fill_physical_attributes(physical_df),
                                seed=jitter_seed)
 
-    train_df, val_df, test_df = reference_splits(df)
+    # Encode ONCE on the full table, then split (the notebook computes
+    # cat.codes / z-scores on the complete frame in cells 8-10 and
+    # 35-36 before the cell-21 split): categorical codes and the
+    # normalisation statistics are shared by train/val/test, so the
+    # same raw value always maps to the same feature across splits.
+    feats_all, field_lengths, cat_mappings, merged_all = \
+        build_feature_frame(df, physical)
+    merged_all = merged_all.reset_index(drop=True)
+    feats_all.index = merged_all.index
+
+    import pandas as pd
+    row_of = pd.Series(np.arange(len(merged_all)),
+                       index=merged_all["Adv_ID"])
+    train_df, val_df, test_df = reference_splits(merged_all)
     splits = {}
-    field_lengths = None
-    cat_mappings = None
     for name, part in (("train", train_df), ("val", val_df),
                        ("test", test_df)):
-        feats, field_lengths, cat_mappings, merged = \
-            build_feature_frame(part, physical)
-        splits[name] = (feats, np.asarray(merged["Genmodel_ID"],
-                                          np.int64),
-                        list(merged["Adv_ID"]),
-                        list(merged["Image_name"]))
+        rows = row_of.loc[list(part["Adv_ID"])].to_numpy()
+        splits[name] = (feats_all.iloc[rows].reset_index(drop=True),
+                        np.asarray(merged_all["Genmodel_ID"]
+                                   .iloc[rows], np.int64),
+                        list(merged_all["Adv_ID"].iloc[rows]),
+                        list(merged_all["Image_name"].iloc[rows]))
 
     labelled_ids = {}
     feats, labels, ids, _ = splits["train"]
-    import pandas as pd
     train_key = pd.DataFrame({"Adv_ID": ids, "Genmodel_ID": labels})
     for frac in label_fractions:
         labelled_ids[frac] = set(

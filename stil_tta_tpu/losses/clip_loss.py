@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from stil_tta_tpu.losses.common import cross_entropy
+from stil_tta_tpu.losses.common import at_least_f32, cross_entropy
 
 
 def clip_loss(out0: jax.Array, out1: jax.Array, temperature: float,
@@ -19,7 +19,6 @@ def clip_loss(out0: jax.Array, out1: jax.Array, temperature: float,
     similarity matrix (as -1e9 columns) and the loss reduction, making a
     padded batch compute exactly what the reference computes on the
     smaller final batch (its val loader does not pad)."""
-    from stil_tta_tpu.losses.common import at_least_f32
     out0 = at_least_f32(out0)
     out1 = at_least_f32(out1)
     out0 = out0 / jnp.clip(jnp.linalg.norm(out0, axis=1, keepdims=True),

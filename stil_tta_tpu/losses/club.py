@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stil_tta_tpu.losses.common import at_least_f32
+
 
 class CLUBMean(nn.Module):
     """Mean head: Linear(x_dim, hidden) -> ReLU -> Linear(hidden, y_dim)
@@ -23,7 +25,6 @@ class CLUBMean(nn.Module):
 
     @nn.compact
     def __call__(self, x_samples: jax.Array) -> jax.Array:
-        from stil_tta_tpu.losses.common import at_least_f32
         x = at_least_f32(x_samples)
         h = nn.Dense(self.hidden_size, param_dtype=jnp.float32,
                      name="fc1")(x)
@@ -42,7 +43,6 @@ def club_losses(mu: jax.Array, y_samples: jax.Array,
     ``weights`` (0/1 per row) excludes padded rows from every reduction
     (incl. the negative-pair means), matching the unpadded computation.
     """
-    from stil_tta_tpu.losses.common import at_least_f32
     mu = at_least_f32(mu)
     y = at_least_f32(y_samples)
     positive = -jnp.sum((mu - y) ** 2, axis=-1) / 2.0

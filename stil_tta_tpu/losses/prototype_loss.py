@@ -12,10 +12,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from stil_tta_tpu.losses.common import at_least_f32
+
 
 def prototype_loss(label: jax.Array, prototypes: jax.Array, feat: jax.Array,
                    temperature: float, threshold: float) -> jax.Array:
-    from stil_tta_tpu.losses.common import at_least_f32
     label = at_least_f32(label)
     sim = (at_least_f32(feat) @ at_least_f32(prototypes).T) \
         / temperature

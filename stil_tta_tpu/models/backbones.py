@@ -32,6 +32,8 @@ from stil_tta_tpu.models.resnet import EMBEDDING_DIM, image_encoder
 from stil_tta_tpu.models.tabular_transformer import (TabularTransformerEncoder,
                                                      split_field_lengths)
 
+from stil_tta_tpu.losses.common import at_least_f32
+
 Linear = lambda features, **kw: nn.Dense(features, param_dtype=jnp.float32,
                                          **kw)
 
@@ -130,8 +132,7 @@ class DisCoBackbone(nn.Module):
         x_si_pool = jnp.mean(x_si, axis=1)
         x_st_pool = jnp.mean(x_st, axis=1)
         x_si_enh, x_st_enh, x_c = self.fuse(x_si, x_ai, x_st, x_at, train)
-        f32 = lambda t: t.astype(jnp.promote_types(t.dtype,
-                                                    jnp.float32))
+        f32 = at_least_f32
         out_m = self.classifier_multimodal(
             f32(jnp.concatenate([x_si_enh, x_c, x_st_enh], axis=1)))
         out_i = self.classifier_imaging(

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
+from stil_tta_tpu.losses.common import at_least_f32
+
 ModuleDef = Any
 
 
@@ -85,7 +87,7 @@ class TorchBatchNorm(nn.Module):
         else:
             # stats in at-least-f32 (f64 inputs keep f64 stats — the
             # f64 equivalence tests rely on it; bf16/f32 unchanged)
-            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+            xf = at_least_f32(x)
             mean = jnp.mean(xf, axis=axes)
             var = jnp.maximum(
                 jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean), 0.0)
@@ -317,6 +319,14 @@ class BasicBlock(nn.Module):
                                        self.dtype, self.in_real, wp, x))
             identity = make_bn(self.bn_impl, not train, self.dtype,
                                "downsample_bn", real_feat=rf)(identity)
+        elif identity.shape[-1] != out.shape[-1]:
+            # no-downsample block fed an UNPADDED input while the block
+            # output is channel-padded (min_channels with pad_stem off):
+            # zero-pad the skip — exact, since the padded lanes carry
+            # zeros and downstream convs mask them via in_real
+            identity = jnp.pad(
+                identity,
+                ((0, 0),) * 3 + ((0, out.shape[-1] - identity.shape[-1]),))
         return nn.relu(out + identity)
 
 

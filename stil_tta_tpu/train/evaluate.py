@@ -293,7 +293,8 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         if use_host_stream:
             from stil_tta_tpu.data.loader import (CyclingEpochView,
                                                   HostStream)
-            keys = ("images", "tabular", "labels", "labelled", "missing")
+            keys = ("images", "tabular", "labels", "labelled", "missing",
+                    "index")
             il = jnp.arange(l_batch, dtype=jnp.int32)
             iu = jnp.arange(u_batch, dtype=jnp.int32)
             l_stream = HostStream(

@@ -50,6 +50,17 @@ def _masked_tx(lr, mask, not_mask):
                        optax.masked(optax.set_to_zero(), not_mask))
 
 
+def eata_sample_weights(ent: jax.Array, e_margin: float,
+                        sel: jax.Array) -> jax.Array:
+    """EATA per-sample weights ``exp(E0 − e)`` over the selected mask.
+
+    The weight is a DETACHED coefficient (official EATA uses
+    ``entropys.detach()`` inside the exp): without stop_gradient,
+    ``d/dθ[ent·exp(E0−ent)]`` flips sign for ent > 1 nat and the update
+    would push those samples' entropy UP instead of down."""
+    return jax.lax.stop_gradient(jnp.exp(e_margin - ent)) * sel
+
+
 def _common(cfg, algo, state, cache):
     net, aug = algo.net, algo.aug_eval
     n = int(np.asarray(cache["labels"]).shape[0])
@@ -130,7 +141,7 @@ def eata_adapt(cfg, algo, state, cache):
                       * jnp.linalg.norm(probs_ema) + 1e-12))
             novel = jnp.where(ema_valid > 0, jnp.abs(cos) < d_margin, True)
             sel = reliable & novel
-            w = jnp.exp(e_margin - ent) * sel
+            w = eata_sample_weights(ent, e_margin, sel)
             loss = jnp.sum(ent * w) / jnp.maximum(jnp.sum(sel), 1)
             if fisher is not None:
                 anchors = jax.tree_util.tree_map(

@@ -53,12 +53,11 @@ def entropy(probs: jax.Array) -> jax.Array:
 def adapt(cfg, algo, state, cache):
     """Adapt ``state`` on the (unlabeled) test cache; returns new state."""
     strategy = cfg.tta_strategy or "tent"
+    state = estimate_bn_stats(cfg, algo, state, cache)
     if strategy in ("eata", "sar"):
         from stil_tta_tpu.tta import methods
-        state = estimate_bn_stats(cfg, algo, state, cache)
         return (methods.eata_adapt if strategy == "eata"
                 else methods.sar_adapt)(cfg, algo, state, cache)
-    state = estimate_bn_stats(cfg, algo, state, cache)
     if strategy == "bn_adapt":
         return state
     return _tent_phase(cfg, algo, state, cache)

@@ -123,12 +123,27 @@ def test_full_assembly_contract():
     assert all(f == 1 for f in out["field_lengths"][4:])
     feats, labels, ids, names = out["splits"]["train"]
     assert list(feats.columns) == list(dvm_raw.FINAL_COLS)
-    # z-scored continuous columns (constant cols map to zeros)
+    # z-scoring is GLOBAL (notebook encodes the full table before the
+    # cell-21 split): the concatenation of all splits is standard
+    # normal per column, not each split individually
+    all_feats = pd.concat([out["splits"][s][0]
+                           for s in ("train", "val", "test")])
     for c in dvm_raw.FINAL_COLS[4:]:
-        col = np.asarray(feats[c], np.float64)
+        col = np.asarray(all_feats[c], np.float64)
         assert abs(col.mean()) < 1e-6
         assert (abs(col.std(ddof=1) - 1) < 1e-6
                 or np.allclose(col, 0.0))
+    # categorical codes are shared across splits: rebuild the
+    # value->code map per split and require agreement
+    cat_map = out["category_mappings"]
+    for c in dvm_raw.FINAL_COLS[:4]:
+        inv = {v: k for k, v in cat_map[c].items()}
+        for s in ("train", "val", "test"):
+            sf = out["splits"][s][0]
+            sids = out["splits"][s][2]
+            raw = (dvm_raw.join_ad_and_images(ad, img)
+                   .set_index("Adv_ID").loc[sids][c])
+            assert list(sf[c].astype(int)) == [inv[v] for v in raw]
     # splits partition the ads, stratified
     all_ids = set()
     for s in ("train", "val", "test"):

@@ -87,6 +87,46 @@ def test_host_stream_block_dispatch_matches_single(tmp_path):
                         _load_ckpt(cfg3, tmp_path, "hs_spd3"))
 
 
+def test_host_stream_simmatch_bank_matches_device_cache(tmp_path):
+    """SimMatch's instance bank is DATASET-index addressed
+    (``simmatch_model.py:140-147``); host-stream virtual caches must
+    thread the sampled indices through (``dataset_indices``) — with the
+    raw gather index (arange(B)) only the first l_batch slots would
+    ever be written."""
+    import jax
+
+    over = dict(name="config_dvm_MultiSimMatch", host_stream="false",
+                steps_per_dispatch=1, DA="false")
+    cfg_d, _ = _run(tmp_path, "sim_device", **over)
+    over["host_stream"] = "true"
+    cfg_h, _ = _run(tmp_path, "sim_host", **over)
+
+    sd = _load_ckpt(cfg_d, tmp_path, "sim_device")
+    sh = _load_ckpt(cfg_h, tmp_path, "sim_host")
+    _assert_same_params(sd, sh)
+    # every labeled sample's slot written, identically in both modes
+    np.testing.assert_array_equal(np.asarray(sd.extra["bank_labels"]),
+                                  np.asarray(sh.extra["bank_labels"]))
+    bank_diff = float(np.max(np.abs(
+        np.asarray(sd.extra["bank"], np.float32)
+        - np.asarray(sh.extra["bank"], np.float32))))
+    assert bank_diff < 5e-3, bank_diff
+    # the epoch covers all 8 labeled samples -> more than l_batch
+    # distinct slots must differ from the (deterministic, key(7)) init
+    # bank; the pre-fix host-stream bug wrote only slots 0..l_batch-1
+    import jax.numpy as jnp
+    init_bank = jax.random.normal(
+        jax.random.key(7), (int(cfg_h.projection_dim), int(cfg_h.K)),
+        jnp.float32)
+    init_bank = init_bank / jnp.linalg.norm(init_bank, axis=0,
+                                            keepdims=True)
+    touched = np.where(np.any(
+        np.abs(np.asarray(sh.extra["bank"]) - np.asarray(init_bank))
+        > 1e-6, axis=0))[0]
+    l_batch = int(cfg_h.batch_size) // (1 + int(cfg_h.unlabelled_ratio))
+    assert len(touched) > l_batch, touched
+
+
 def test_host_stream_memmap_backed_source(tmp_path):
     """host_stream over genuinely memmap-backed splits (the >HBM
     scenario it exists for): native artifact dirs loaded with

@@ -93,6 +93,27 @@ def test_eata_changes_only_bn_affine_and_respects_margin():
     assert same, "eata updated params with an empty selection"
 
 
+def test_eata_weight_is_detached_coefficient():
+    """The EATA weight exp(E0−e) must not carry gradient: the per-sample
+    objective's grad wrt the entropies is exactly the weights themselves.
+    An undetached weight gives (1−ent)·exp(E0−ent), which flips sign for
+    ent > 1 nat (anti-adaptation on high-entropy selected samples)."""
+    from stil_tta_tpu.tta.methods import eata_sample_weights
+
+    e_margin = 2.26  # 0.4 * ln(286), the DVM shape
+    ent = jnp.asarray([0.5, 1.5, 2.0, 3.0], jnp.float32)  # last: unselected
+    sel = ent < e_margin
+
+    def objective(e):
+        return jnp.sum(e * eata_sample_weights(e, e_margin, sel))
+
+    g = jax.grad(objective)(ent)
+    w = eata_sample_weights(ent, e_margin, sel)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)
+    assert (np.asarray(g)[:3] > 0).all()  # descent always lowers entropy
+    assert np.asarray(g)[3] == 0.0
+
+
 def test_eata_fisher_anchor_shrinks_drift():
     cfg, algo, state, cache = _setup("eata")
     cfg.tta_e_margin_scale = 2.0
