@@ -242,6 +242,11 @@ def main():
               if config_name == "config_dvm_STiL" else
               config_name.replace("config_", "").lower()
               + "_train_samples_per_sec_per_chip")
+    if input_mode != "device_cache":
+        # keep the non-default input path out of the headline metric
+        # series (a transfer-bound host_stream number must never be
+        # mistaken for a device_cache regression)
+        metric += f"_{input_mode}"
     print(json.dumps({
         "metric": metric,
         "value": round(samples_per_sec, 2),

@@ -216,6 +216,9 @@ class HostStream:
             "labelled": resh(np.ascontiguousarray(
                 self.source.labelled[idx])),
             "index": resh(np.ascontiguousarray(idx, np.int32)),
+            # padding mask, same schema as the single-batch path
+            "weight": np.stack([np.ascontiguousarray(p[1])
+                                for p in pairs]),
         }
         if self.source.missing is not None:
             batch["missing"] = resh(np.ascontiguousarray(

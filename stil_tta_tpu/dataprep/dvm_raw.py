@@ -166,7 +166,16 @@ def jitter_physical(df, jitter: int = JITTER_MM, seed: int = 2022):
 def reference_splits(df, seed: int = SPLIT_SEED,
                      test_size: float = 0.5, val_size: float = 0.2):
     """cell 21 (all-views branch): stratified train/test split then
-    train/val split, both at seed 2022."""
+    train/val split, both at seed 2022.
+
+    Faithful quirk: the notebook's second split passes
+    ``stratify=filtered_data_df[isin(train_set_ids)]['Genmodel_ID']``
+    — labels in ORIGINAL dataframe order against ``train_set_ids`` in
+    sklearn's shuffled order, so element i of the id list is stratified
+    by the class of a *different* ad and the train/val split is only
+    approximately stratified. Reproducing the reference's exact split
+    ids requires keeping that misalignment (``sub`` below is in df
+    order on purpose); do NOT "fix" it to ``by_id.loc[train_set]``."""
     from sklearn.model_selection import train_test_split
 
     ids = list(df["Adv_ID"])

@@ -376,7 +376,11 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
                     val_metric_value > es_best + 1e-4:
                 es_best = val_metric_value
                 bad_epochs = 0
-            else:
+            elif val_metrics:
+                # only a validation run that produced metrics counts
+                # toward patience; limit_val_batches: 0 disables the
+                # loop entirely (PL semantics) and must not trickle
+                # into early stopping
                 bad_epochs += 1
                 if bad_epochs >= patience:
                     print(f"Early stopping at epoch {epoch}")

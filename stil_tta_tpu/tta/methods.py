@@ -182,7 +182,7 @@ def sar_adapt(cfg, algo, state, cache):
     rho = float(cfg.tta_sam_rho or 0.05)
     reset_constant = float(cfg.tta_reset_constant or 0.2)
     tx = _masked_tx(float(cfg.tta_lr or 1e-4), mask, not_mask)
-    params0, opt_state0 = state.params, None  # opt reset = tx.init
+    params0 = state.params  # recovery resets re-init opt via tx.init
 
     def filtered_entropy(p, images, tabular, sel_in=None):
         logits = logits_fn(p, images, tabular)

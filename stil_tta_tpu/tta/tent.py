@@ -119,12 +119,12 @@ def _tent_phase(cfg, algo, state, cache):
                            seed=0)
     lr = float(cfg.tta_lr or 1e-3)
     steps = int(cfg.tta_steps or 1)
+    from stil_tta_tpu.tta.methods import _masked_tx
     mask = bn_param_mask(state.params)
     not_mask = jax.tree_util.tree_map(lambda m: not m, mask)
     # adam on the BN affine leaves; everything else hard-zeroed
-    # (optax.masked passes unmasked updates through untouched)
-    tx = optax.chain(optax.masked(optax.adam(lr), mask),
-                     optax.masked(optax.set_to_zero(), not_mask))
+    # (the shared masked chain — eata/sar use the same one)
+    tx = _masked_tx(lr, mask, not_mask)
     opt_state = tx.init(state.params)
 
     @jax.jit

@@ -30,7 +30,12 @@ def _run_bench(monkeypatch, capsys, mode):
            if ln.startswith("{")]
     assert out, "bench printed no JSON line"
     rec = json.loads(out[-1])
-    assert rec["metric"] == "stil_dvm_train_samples_per_sec_per_chip"
+    # non-default input modes get their own metric series so a
+    # transfer-bound host_stream number can never be mistaken for the
+    # device_cache headline
+    suffix = "" if mode == "device_cache" else f"_{mode}"
+    assert rec["metric"] == \
+        "stil_dvm_train_samples_per_sec_per_chip" + suffix
     assert rec["value"] > 0
     assert rec["unit"] == "samples/sec"
     assert rec["vs_baseline"] >= 0  # rounds to 0.0 at CPU speeds
