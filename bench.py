@@ -133,8 +133,8 @@ def main():
         marg_u = jax.device_put(np.asarray(src_u.tabular, np.float32))
         il = jnp.arange(l_batch, dtype=jnp.int32)
         iu = jnp.arange(u_batch, dtype=jnp.int32)
-        keys = ("images", "tabular", "labels", "labelled", "missing",
-                "index")
+        from stil_tta_tpu.data.loader import VIRTUAL_CACHE_KEYS
+        keys = VIRTUAL_CACHE_KEYS
         blocks = zip(l_stream.epoch_blocks(k, steps),
                      u_stream.epoch_blocks(k, steps))
 

@@ -159,6 +159,15 @@ def gather_batch(cache: dict, idx: jax.Array) -> dict:
     return out
 
 
+# the train-step virtual-cache schema every host-stream consumer must
+# request (evaluate.py / bench.py filter their batches to this set):
+# "index" in particular must never be dropped — without it
+# dataset_indices() silently falls back to the raw gather index and
+# index-addressed state (SimMatch's bank) aliases batch slots again
+VIRTUAL_CACHE_KEYS = ("images", "tabular", "labels", "labelled",
+                      "missing", "index")
+
+
 def dataset_indices(cache: dict, idx: jax.Array) -> jax.Array:
     """True dataset indices of the rows ``gather_batch(cache, idx)``
     returns. For a :class:`DeviceCache` the gather index IS the dataset
@@ -195,10 +204,14 @@ class HostStream:
         }
         if self.source.missing is not None:
             batch["missing"] = self.source.missing[idx]
-        if self.sharding is not None:
-            return {k: jax.device_put(v, self.sharding)
-                    for k, v in batch.items()}
-        return {k: jax.device_put(v) for k, v in batch.items()}
+        w = batch.pop("weight")  # padding mask: host-side only, no
+        if self.sharding is not None:  # consumer reads it on device
+            batch = {k: jax.device_put(v, self.sharding)
+                     for k, v in batch.items()}
+        else:
+            batch = {k: jax.device_put(v) for k, v in batch.items()}
+        batch["weight"] = w
+        return batch
 
     def _assemble_block(self, pairs) -> dict:
         """Gather K batches as one (K*B) native gather + device_put,
@@ -216,16 +229,17 @@ class HostStream:
             "labelled": resh(np.ascontiguousarray(
                 self.source.labelled[idx])),
             "index": resh(np.ascontiguousarray(idx, np.int32)),
-            # padding mask, same schema as the single-batch path
-            "weight": np.stack([np.ascontiguousarray(p[1])
-                                for p in pairs]),
         }
         if self.source.missing is not None:
             batch["missing"] = resh(np.ascontiguousarray(
                 self.source.missing[idx]))
         put = (lambda v: jax.device_put(v, self.sharding)) \
             if self.sharding is not None else jax.device_put
-        return {k_: put(v) for k_, v in batch.items()}
+        batch = {k_: put(v) for k_, v in batch.items()}
+        # padding mask, same schema as the single-batch path —
+        # host-side numpy (no consumer reads it on device)
+        batch["weight"] = np.stack([p[1] for p in pairs])
+        return batch
 
     def _prefetched(self, produce) -> Iterator:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.depth)

@@ -291,10 +291,10 @@ def evaluate(cfg, logdir: Optional[Path] = None) -> Dict[str, float]:
         epoch_arr = jnp.asarray(epoch, jnp.int32)
         l_sampler, u_sampler = make_samplers(epoch)
         if use_host_stream:
-            from stil_tta_tpu.data.loader import (CyclingEpochView,
+            from stil_tta_tpu.data.loader import (VIRTUAL_CACHE_KEYS,
+                                                  CyclingEpochView,
                                                   HostStream)
-            keys = ("images", "tabular", "labels", "labelled", "missing",
-                    "index")
+            keys = VIRTUAL_CACHE_KEYS
             il = jnp.arange(l_batch, dtype=jnp.int32)
             iu = jnp.arange(u_batch, dtype=jnp.int32)
             l_stream = HostStream(
