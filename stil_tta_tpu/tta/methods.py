@@ -41,8 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from stil_tta_tpu.data.loader import EpochSampler
-from stil_tta_tpu.tta.tent import bn_param_mask, entropy
+from stil_tta_tpu.tta.tent import (bn_param_mask, knob, missing_kw,
+                                   tta_batches)
 
 
 def _masked_tx(lr, mask, not_mask):
@@ -63,26 +63,22 @@ def eata_sample_weights(ent: jax.Array, e_margin: float,
 
 def _common(cfg, algo, state, cache):
     net, aug = algo.net, algo.aug_eval
-    n = int(np.asarray(cache["labels"]).shape[0])
-    sampler = EpochSampler(n, int(cfg.batch_size), shuffle=True,
-                           drop_last=False, seed=0)
     mask = bn_param_mask(state.params)
     not_mask = jax.tree_util.tree_map(lambda m: not m, mask)
     num_classes = int(cfg.num_classes)
-    e_margin = (float(cfg.tta_e_margin_scale or 0.4)
+    e_margin = (float(knob(cfg.tta_e_margin_scale, 0.4))
                 * float(np.log(num_classes)))
 
-    def logits_fn(params, images, tabular):
+    def logits_fn(params, images, tabular, missing):
         imgs = aug(jax.random.key(0), images)
         outs = net.apply({"params": params,
                           "batch_stats": state.batch_stats},
-                         imgs, tabular, train=False)
+                         imgs, tabular, train=False,
+                         **missing_kw(missing))
         return outs["out_m"].astype(jnp.float32)
 
     def batches():
-        for idx, _ in sampler.epoch():
-            yield (jnp.take(cache["images"], jnp.asarray(idx), 0),
-                   jnp.take(cache["tabular"], jnp.asarray(idx), 0))
+        return tta_batches(cache, int(cfg.batch_size))
 
     return logits_fn, batches, mask, not_mask, e_margin, num_classes
 
@@ -91,9 +87,9 @@ def eata_adapt(cfg, algo, state, cache):
     """EATA phase 2 (after BN-stat re-estimation)."""
     logits_fn, batches, mask, not_mask, e_margin, num_classes = _common(
         cfg, algo, state, cache)
-    d_margin = float(cfg.tta_d_margin or 0.05)
-    fisher_alpha = float(cfg.tta_fisher_alpha or 0.0)
-    tx = _masked_tx(float(cfg.tta_lr or 1e-4), mask, not_mask)
+    d_margin = float(knob(cfg.tta_d_margin, 0.05))
+    fisher_alpha = float(knob(cfg.tta_fisher_alpha, 0.0))
+    tx = _masked_tx(float(knob(cfg.tta_lr, 1e-4)), mask, not_mask)
     opt_state = tx.init(state.params)
     params0 = state.params
 
@@ -102,12 +98,12 @@ def eata_adapt(cfg, algo, state, cache):
     # cache, evaluated at the source parameters — EATA eq. (1)/(2).
     fisher = None
     if fisher_alpha > 0.0:
-        budget = int(cfg.tta_fisher_samples or 2000)
+        budget = int(knob(cfg.tta_fisher_samples, 2000))
 
         @jax.jit
-        def fisher_step(params, images, tabular):
+        def fisher_step(params, images, tabular, missing):
             def ce(p):
-                logits = logits_fn(p, images, tabular)
+                logits = logits_fn(p, images, tabular, missing)
                 labels = jnp.argmax(jax.lax.stop_gradient(logits), axis=1)
                 logp = jax.nn.log_softmax(logits)
                 return -jnp.mean(
@@ -117,8 +113,8 @@ def eata_adapt(cfg, algo, state, cache):
 
         acc = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         seen = used = 0
-        for images, tabular in batches():
-            sq = fisher_step(state.params, images, tabular)
+        for images, tabular, missing in batches():
+            sq = fisher_step(state.params, images, tabular, missing)
             acc = jax.tree_util.tree_map(jnp.add, acc, sq)
             used += 1
             seen += int(images.shape[0])
@@ -127,9 +123,10 @@ def eata_adapt(cfg, algo, state, cache):
         fisher = jax.tree_util.tree_map(lambda t: t / max(used, 1), acc)
 
     @jax.jit
-    def eata_step(params, opt_state, probs_ema, ema_valid, images, tabular):
+    def eata_step(params, opt_state, probs_ema, ema_valid, images,
+                  tabular, missing):
         def loss_fn(p):
-            logits = logits_fn(p, images, tabular)
+            logits = logits_fn(p, images, tabular, missing)
             logp = jax.nn.log_softmax(logits)
             probs = jnp.exp(logp)
             ent = -jnp.sum(probs * logp, axis=-1)
@@ -168,10 +165,11 @@ def eata_adapt(cfg, algo, state, cache):
     params = state.params
     probs_ema = jnp.zeros((num_classes,), jnp.float32)
     ema_valid = jnp.asarray(0, jnp.int32)
-    for _ in range(int(cfg.tta_steps or 1)):
-        for images, tabular in batches():
+    for _ in range(int(knob(cfg.tta_steps, 1))):
+        for images, tabular, missing in batches():
             params, opt_state, probs_ema, ema_valid = eata_step(
-                params, opt_state, probs_ema, ema_valid, images, tabular)
+                params, opt_state, probs_ema, ema_valid, images,
+                tabular, missing)
     return dataclasses.replace(state, params=params)
 
 
@@ -179,25 +177,28 @@ def sar_adapt(cfg, algo, state, cache):
     """SAR phase 2 (after BN-stat re-estimation)."""
     logits_fn, batches, mask, not_mask, e_margin, _ = _common(
         cfg, algo, state, cache)
-    rho = float(cfg.tta_sam_rho or 0.05)
-    reset_constant = float(cfg.tta_reset_constant or 0.2)
-    tx = _masked_tx(float(cfg.tta_lr or 1e-4), mask, not_mask)
-    params0 = state.params  # recovery resets re-init opt via tx.init
+    rho = float(knob(cfg.tta_sam_rho, 0.05))
+    reset_constant = float(knob(cfg.tta_reset_constant, 0.2))
+    tx = _masked_tx(float(knob(cfg.tta_lr, 1e-4)), mask, not_mask)
+    params0 = state.params
+    opt_state0 = tx.init(params0)  # recovery reset target
 
-    def filtered_entropy(p, images, tabular, sel_in=None):
-        logits = logits_fn(p, images, tabular)
+    def filtered_entropy(p, images, tabular, missing):
+        logits = logits_fn(p, images, tabular, missing)
         logp = jax.nn.log_softmax(logits)
         probs = jnp.exp(logp)
         ent = -jnp.sum(probs * logp, axis=-1)
-        sel = (ent < e_margin) if sel_in is None else sel_in
+        sel = ent < e_margin
         loss = jnp.sum(ent * sel) / jnp.maximum(jnp.sum(sel), 1)
         return loss, (ent, sel)
 
     @jax.jit
-    def sar_step(params, opt_state, ema_loss, ema_valid, images, tabular):
+    def sar_step(params, opt_state, ema_loss, ema_valid, images,
+                 tabular, missing):
         # first step: ascend to the sharpness point along the masked grad
         (_, (_, sel)), g1 = jax.value_and_grad(
-            filtered_entropy, has_aux=True)(params, images, tabular)
+            filtered_entropy, has_aux=True)(params, images, tabular,
+                                            missing)
         g1 = jax.tree_util.tree_map(
             lambda g, m: g if m else jnp.zeros_like(g), g1, mask)
         gnorm = optax.global_norm(g1)
@@ -206,34 +207,43 @@ def sar_adapt(cfg, algo, state, cache):
         # second step: descend from the perturbed point, re-filtering on
         # the perturbed entropies (SAR's filter_ids_2)
         def second(p):
-            loss2, (ent2, _) = filtered_entropy(p, images, tabular,
-                                                sel_in=sel)
+            _, (ent2, _) = filtered_entropy(p, images, tabular, missing)
             sel2 = sel & (ent2 < e_margin)
             loss2 = jnp.sum(ent2 * sel2) / jnp.maximum(jnp.sum(sel2), 1)
-            return loss2
+            return loss2, sel2
 
-        loss2, g2 = jax.value_and_grad(second)(perturbed)
+        (loss2, sel2), g2 = jax.value_and_grad(
+            second, has_aux=True)(perturbed)
         updates, new_opt = tx.update(g2, opt_state, params)
         params = optax.apply_updates(params, updates)
+        # the EMA only tracks batches whose SECOND filter selected
+        # something — an empty sel2 makes loss2 an artificial 0 that
+        # must neither enter the EMA nor trigger a recovery reset
+        # (official SAR: a nan loss skips the EMA update)
+        ok = jnp.isfinite(loss2) & (jnp.sum(sel2) > 0)
         new_ema = jnp.where(ema_valid > 0,
                             0.9 * ema_loss + 0.1 * loss2, loss2)
-        ok = jnp.isfinite(loss2) & (jnp.sum(sel) > 0)
         ema_loss = jnp.where(ok, new_ema, ema_loss)
         ema_valid = jnp.maximum(ema_valid, ok.astype(jnp.int32))
+        # model recovery (paper §3.3) folded into the jitted step so
+        # the adaptation loop never blocks on a device->host sync: a
+        # collapsed, uniformly confident model drives the smoothed
+        # loss toward zero — reset params + opt and keep adapting
+        reset = (ema_valid > 0) & (ema_loss < reset_constant)
+        pick = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(reset, x, y), a, b)
+        params = pick(params0, params)
+        new_opt = pick(opt_state0, new_opt)
+        ema_loss = jnp.where(reset, 0.0, ema_loss)
+        ema_valid = jnp.where(reset, 0, ema_valid)
         return params, new_opt, ema_loss, ema_valid
 
     params, opt_state = state.params, tx.init(state.params)
     ema_loss = jnp.asarray(0.0, jnp.float32)
     ema_valid = jnp.asarray(0, jnp.int32)
-    for _ in range(int(cfg.tta_steps or 1)):
-        for images, tabular in batches():
+    for _ in range(int(knob(cfg.tta_steps, 1))):
+        for images, tabular, missing in batches():
             params, opt_state, ema_loss, ema_valid = sar_step(
-                params, opt_state, ema_loss, ema_valid, images, tabular)
-            # model recovery (paper §3.3): a collapsed, uniformly
-            # confident model drives the smoothed loss toward zero —
-            # reset parameters and optimizer and keep adapting
-            if int(ema_valid) > 0 and float(ema_loss) < reset_constant:
-                params, opt_state = params0, tx.init(params0)
-                ema_loss = jnp.asarray(0.0, jnp.float32)
-                ema_valid = jnp.asarray(0, jnp.int32)
+                params, opt_state, ema_loss, ema_valid, images,
+                tabular, missing)
     return dataclasses.replace(state, params=params)

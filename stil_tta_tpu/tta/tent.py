@@ -50,9 +50,48 @@ def entropy(probs: jax.Array) -> jax.Array:
     return -jnp.sum(probs * jnp.log(probs + 1e-12), axis=-1)
 
 
+def knob(value, default):
+    """Config knob with a ``None -> default`` contract: an explicit 0
+    (e.g. ``tta_steps: 0`` = BN-adapt only, ``tta_fisher_alpha: 0`` =
+    anchor off) is a real value, unlike with ``value or default``."""
+    return default if value is None else value
+
+
+def tta_batches(cache, batch_size: int, seed: int = 0):
+    """Shuffled one-epoch batch iterator over the test cache with pad
+    rows REMOVED: ``EpochSampler(drop_last=False)`` pads the final
+    batch with weight-0 copies of its first row, and BN statistics,
+    entropy losses and EMA trackers must only see real samples — the
+    tail batch simply runs at its natural smaller shape (one extra jit
+    specialization). Yields ``(images, tabular, missing-or-None)``, the
+    missing-tabular mask sliced alongside so adaptation sees the same
+    masked inputs the eval forward scores."""
+    n = int(np.asarray(cache["labels"]).shape[0])
+    sampler = EpochSampler(n, batch_size, shuffle=True, drop_last=False,
+                           seed=seed)
+    missing = cache.get("missing")
+    for idx, w in sampler.epoch():
+        j = jnp.asarray(np.asarray(idx)[np.asarray(w) > 0])
+        yield (jnp.take(cache["images"], j, 0),
+               jnp.take(cache["tabular"], j, 0),
+               None if missing is None else jnp.take(missing, j, 0))
+
+
+def missing_kw(missing) -> dict:
+    """``missing_mask`` kwarg dict for ``net.apply`` — empty when the
+    cache has no mask (Match-family backbones take no such kwarg)."""
+    return {} if missing is None else {"missing_mask": missing}
+
+
+STRATEGIES = ("tent", "bn_adapt", "eata", "sar")
+
+
 def adapt(cfg, algo, state, cache):
     """Adapt ``state`` on the (unlabeled) test cache; returns new state."""
-    strategy = cfg.tta_strategy or "tent"
+    strategy = knob(cfg.tta_strategy, "tent")
+    if strategy not in STRATEGIES:
+        raise ValueError(f"unknown tta_strategy {strategy!r}; "
+                         f"expected one of {STRATEGIES}")
     state = estimate_bn_stats(cfg, algo, state, cache)
     if strategy in ("eata", "sar"):
         from stil_tta_tpu.tta import methods
@@ -67,10 +106,9 @@ def estimate_bn_stats(cfg, algo, state, cache):
     """Phase 1 of every strategy: BN-statistics re-estimation on the
     shifted test cache (one momentum sweep)."""
     batch_size = int(cfg.batch_size)
-    momentum = float(cfg.tta_momentum or 0.1)
+    momentum = float(knob(cfg.tta_momentum, 0.1))
     net = algo.net
     aug = algo.aug_eval
-    n = int(np.asarray(cache["labels"]).shape[0])
 
     # ---- phase 1: BN statistics re-estimation on the shifted data.
     # Dropout is disabled for the stats pass (a rate-0 clone) so the
@@ -84,12 +122,12 @@ def estimate_bn_stats(cfg, algo, state, cache):
                              if hasattr(net, k)})
 
     @jax.jit
-    def stats_step(batch_stats, images, tabular):
+    def stats_step(batch_stats, images, tabular, missing):
         imgs = aug(jax.random.key(0), images)
         _, mut = stats_net.apply(
             {"params": state.params, "batch_stats": batch_stats},
             imgs, tabular, train=True, mutable=["batch_stats"],
-            rngs={"dropout": jax.random.key(0)})
+            rngs={"dropout": jax.random.key(0)}, **missing_kw(missing))
         # recover the raw test-batch statistics from flax's internal
         # blend (new = m*old + (1-m)*batch), then apply tta_momentum once
         batch = jax.tree_util.tree_map(
@@ -100,11 +138,8 @@ def estimate_bn_stats(cfg, algo, state, cache):
             batch_stats, batch)
 
     bs = state.batch_stats
-    sampler = EpochSampler(n, batch_size, shuffle=True, drop_last=False,
-                           seed=0)
-    for idx, _ in sampler.epoch():
-        bs = stats_step(bs, jnp.take(cache["images"], jnp.asarray(idx), 0),
-                        jnp.take(cache["tabular"], jnp.asarray(idx), 0))
+    for images, tabular, missing in tta_batches(cache, batch_size):
+        bs = stats_step(bs, images, tabular, missing)
     return dataclasses.replace(state, batch_stats=bs)
 
 
@@ -113,12 +148,11 @@ def _tent_phase(cfg, algo, state, cache):
     batch_size = int(cfg.batch_size)
     net = algo.net
     aug = algo.aug_eval
-    n = int(np.asarray(cache["labels"]).shape[0])
     bs = state.batch_stats
-    sampler = EpochSampler(n, batch_size, shuffle=True, drop_last=False,
-                           seed=0)
-    lr = float(cfg.tta_lr or 1e-3)
-    steps = int(cfg.tta_steps or 1)
+    # fallbacks mirror base/semisl.yaml so a stripped config behaves
+    # the same across every strategy (eata/sar use the same values)
+    lr = float(knob(cfg.tta_lr, 1e-4))
+    steps = int(knob(cfg.tta_steps, 1))
     from stil_tta_tpu.tta.methods import _masked_tx
     mask = bn_param_mask(state.params)
     not_mask = jax.tree_util.tree_map(lambda m: not m, mask)
@@ -128,12 +162,13 @@ def _tent_phase(cfg, algo, state, cache):
     opt_state = tx.init(state.params)
 
     @jax.jit
-    def tent_step(params, opt_state, images, tabular):
+    def tent_step(params, opt_state, images, tabular, missing):
         imgs = aug(jax.random.key(0), images)
 
         def loss_fn(p):
             outs = net.apply({"params": p, "batch_stats": bs},
-                             imgs, tabular, train=False)
+                             imgs, tabular, train=False,
+                             **missing_kw(missing))
             probs = jax.nn.softmax(outs["out_m"].astype(jnp.float32),
                                    axis=1)
             return jnp.mean(entropy(probs))
@@ -144,9 +179,7 @@ def _tent_phase(cfg, algo, state, cache):
 
     params = state.params
     for _ in range(steps):
-        for idx, _ in sampler.epoch():
-            params, opt_state = tent_step(
-                params, opt_state,
-                jnp.take(cache["images"], jnp.asarray(idx), 0),
-                jnp.take(cache["tabular"], jnp.asarray(idx), 0))
+        for images, tabular, missing in tta_batches(cache, batch_size):
+            params, opt_state = tent_step(params, opt_state, images,
+                                          tabular, missing)
     return dataclasses.replace(state, params=params)

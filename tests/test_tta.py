@@ -162,3 +162,41 @@ def test_sar_reset_on_collapsed_entropy():
         lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
         state.params, new_state.params))
     assert same, "sar did not reset to source params"
+
+
+def test_unknown_strategy_raises():
+    cfg, algo, state, cache = _setup("tentt")  # typo must not run Tent
+    import pytest
+    with pytest.raises(ValueError, match="tta_strategy"):
+        adapt(cfg, algo, state, cache)
+
+
+def test_tta_steps_zero_is_bn_adapt_only():
+    """tta_steps: 0 under the tent strategy = BN re-estimation only
+    (previously `0 or 1` silently ran one full tent epoch)."""
+    cfg, algo, state, cache = _setup("tent")
+    cfg.tta_steps = 0
+    new_state = adapt(cfg, algo, state, cache)
+    same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        state.params, new_state.params))
+    assert same, "tta_steps=0 still updated params"
+
+
+def test_bn_reestimation_ignores_pad_rows():
+    """EpochSampler pads the final batch with weight-0 copies of its
+    first row; the re-estimated BN statistics must be identical whether
+    the cache fits one padded batch (n=12 @ batch 32) or exact batches
+    (n=12 @ batch 12) - previously the 20 pad duplicates dominated the
+    batch statistics."""
+    from stil_tta_tpu.tta.tent import estimate_bn_stats
+    cfg, algo, state, cache = _setup("bn_adapt")
+    cfg.batch_size = 32  # n=12: one padded batch
+    padded = estimate_bn_stats(cfg, algo, state, cache)
+    cfg.batch_size = 12  # exact single batch, no padding
+    exact = estimate_bn_stats(cfg, algo, state, cache)
+    flat_p = jax.tree_util.tree_leaves(padded.batch_stats)
+    flat_e = jax.tree_util.tree_leaves(exact.batch_stats)
+    for a, b in zip(flat_p, flat_e):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
