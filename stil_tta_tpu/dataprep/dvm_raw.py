@@ -17,7 +17,8 @@ reference's published artifacts:
 - physical-attribute table: fill missing Wheelbase/Length/Width/Height
   from other ads of the same model, the two manual fixes the notebook
   records, and the +-50 mm anti-leak jitter (cells 32-35),
-- merge + z-score physical attrs, drop non-features, categorical-first
+- merge physical attrs (z-scored PER SPLIT in cell 35's
+  create_feature_files), drop non-features, categorical-first
   reorder, ``Adv_year`` removal (cells 35-36, 40-42),
 - stratified 50/20/... train/val/test splits at seed 2022 and the
   low-data (label-fraction) splits that keep >=1 ad per class at seed
@@ -216,10 +217,13 @@ def low_data_split(df, nclasses: int, fraction: float,
 
 def build_feature_frame(df, physical_df, drop_adv_year: bool = False):
     """cells 35-36 (+40-42 when ``drop_adv_year``, the 'rmAY'
-    variant): merge physical attrs, z-score continuous and physical
-    columns, reorder categorical-first. Returns (feature dataframe in
-    FINAL_COLS order with label-encoded categoricals, field_lengths,
-    category mappings, merged rows)."""
+    variant): merge physical attrs, z-score the 9 continuous columns
+    globally (cell 10), reorder categorical-first. The 4 PHYSICAL_COLS
+    stay RAW here — cell 35's create_feature_files normalises them per
+    split, which :func:`assemble_raw_dvm` applies after
+    :func:`reference_splits`. Returns (feature dataframe in FINAL_COLS
+    order with label-encoded categoricals, field_lengths, category
+    mappings, merged rows)."""
     merged = df.merge(physical_df[["Adv_ID"] + PHYSICAL_COLS],
                       on="Adv_ID")
     for attr in PHYSICAL_COLS:
@@ -236,8 +240,16 @@ def build_feature_frame(df, physical_df, drop_adv_year: bool = False):
         field_lengths.append(len(cat.cat.categories))
     for c in FINAL_COLS[len(CATEGORICAL_COLS):]:
         v = np.asarray(merged[c], np.float64)
-        std = v.std(ddof=1) or 1.0
-        out[c] = ((v - v.mean()) / std).astype(np.float32)
+        if c in PHYSICAL_COLS:
+            # cell 35 (create_feature_files) normalises the 4 physical
+            # columns PER SPLIT — keep them raw here; assemble_raw_dvm
+            # z-scores each split's slice after reference_splits()
+            out[c] = v.astype(np.float32)
+        else:
+            # the 9 continuous columns are z-scored globally (cell 10,
+            # before the cell-21 split)
+            std = v.std(ddof=1) or 1.0
+            out[c] = ((v - v.mean()) / std).astype(np.float32)
         field_lengths.append(1)
     import pandas as pd
     cols = [c for c in FINAL_COLS
@@ -272,13 +284,27 @@ def assemble_raw_dvm(ad_df, image_df, physical_df,
     physical = jitter_physical(fill_physical_attributes(physical_df),
                                seed=jitter_seed)
 
-    # Encode ONCE on the full table, then split (the notebook computes
-    # cat.codes / z-scores on the complete frame in cells 8-10 and
-    # 35-36 before the cell-21 split): categorical codes and the
-    # normalisation statistics are shared by train/val/test, so the
-    # same raw value always maps to the same feature across splits.
+    # Encode ONCE on the full table, then split. Cell 10 computes
+    # cat.codes / continuous z-scores on the complete frame before the
+    # cell-21 split, so categorical codes and the 9 continuous columns'
+    # normalisation statistics are shared by train/val/test. The 4
+    # physical columns are the exception: cell 35's create_feature_files
+    # normalises them PER SPLIT (each split file carries its own
+    # mean/std) — build_feature_frame leaves them raw and they are
+    # z-scored per split below.
     feats_all, field_lengths, cat_mappings, merged_all = \
         build_feature_frame(df, physical)
+    # the physical merge is an inner join: any ad missing from (or
+    # duplicated in) the physical table would silently change the id
+    # list fed to train_test_split vs the notebook's (which splits the
+    # pre-merge frame) — refuse instead
+    if len(merged_all) != len(df):
+        raise ValueError(
+            f"physical-attribute merge changed the row count "
+            f"({len(df)} -> {len(merged_all)}): the physical table must "
+            f"cover every ad exactly once (cell 35)")
+    if not merged_all["Adv_ID"].is_unique:
+        raise ValueError("Adv_ID not unique after physical merge")
     merged_all = merged_all.reset_index(drop=True)
     feats_all.index = merged_all.index
 
@@ -290,7 +316,13 @@ def assemble_raw_dvm(ad_df, image_df, physical_df,
     for name, part in (("train", train_df), ("val", val_df),
                        ("test", test_df)):
         rows = row_of.loc[list(part["Adv_ID"])].to_numpy()
-        splits[name] = (feats_all.iloc[rows].reset_index(drop=True),
+        feats = feats_all.iloc[rows].reset_index(drop=True).copy()
+        # cell 35: per-split z-score of the physical columns
+        for c in PHYSICAL_COLS:
+            v = np.asarray(feats[c], np.float64)
+            std = v.std(ddof=1) or 1.0
+            feats[c] = ((v - v.mean()) / std).astype(np.float32)
+        splits[name] = (feats,
                         np.asarray(merged_all["Genmodel_ID"]
                                    .iloc[rows], np.int64),
                         list(merged_all["Adv_ID"].iloc[rows]),

@@ -74,11 +74,13 @@ def _common(cfg, algo, state, cache):
         outs = net.apply({"params": params,
                           "batch_stats": state.batch_stats},
                          imgs, tabular, train=False,
-                         **missing_kw(missing))
+                         **missing_kw(missing, net))
         return outs["out_m"].astype(jnp.float32)
 
-    def batches():
-        return tta_batches(cache, int(cfg.batch_size))
+    def batches(seed: int = 0):
+        # seed per adaptation epoch so tta_steps > 1 sees fresh
+        # permutations, not the same one replayed
+        return tta_batches(cache, int(cfg.batch_size), seed=seed)
 
     return logits_fn, batches, mask, not_mask, e_margin, num_classes
 
@@ -165,8 +167,8 @@ def eata_adapt(cfg, algo, state, cache):
     params = state.params
     probs_ema = jnp.zeros((num_classes,), jnp.float32)
     ema_valid = jnp.asarray(0, jnp.int32)
-    for _ in range(int(knob(cfg.tta_steps, 1))):
-        for images, tabular, missing in batches():
+    for ep in range(int(knob(cfg.tta_steps, 1))):
+        for images, tabular, missing in batches(seed=ep):
             params, opt_state, probs_ema, ema_valid = eata_step(
                 params, opt_state, probs_ema, ema_valid, images,
                 tabular, missing)
@@ -241,8 +243,8 @@ def sar_adapt(cfg, algo, state, cache):
     params, opt_state = state.params, tx.init(state.params)
     ema_loss = jnp.asarray(0.0, jnp.float32)
     ema_valid = jnp.asarray(0, jnp.int32)
-    for _ in range(int(knob(cfg.tta_steps, 1))):
-        for images, tabular, missing in batches():
+    for ep in range(int(knob(cfg.tta_steps, 1))):
+        for images, tabular, missing in batches(seed=ep):
             params, opt_state, ema_loss, ema_valid = sar_step(
                 params, opt_state, ema_loss, ema_valid, images,
                 tabular, missing)

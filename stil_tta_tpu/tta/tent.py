@@ -77,10 +77,28 @@ def tta_batches(cache, batch_size: int, seed: int = 0):
                None if missing is None else jnp.take(missing, j, 0))
 
 
-def missing_kw(missing) -> dict:
+def accepts_missing_mask(net) -> bool:
+    """Whether the network's ``__call__`` takes a ``missing_mask``
+    kwarg (the DisCo/semi-multimodal backbones do; the Match-family
+    backbones don't)."""
+    import inspect
+    try:
+        return "missing_mask" in inspect.signature(
+            type(net).__call__).parameters
+    except (TypeError, ValueError):
+        return False
+
+
+def missing_kw(missing, net=None) -> dict:
     """``missing_mask`` kwarg dict for ``net.apply`` — empty when the
-    cache has no mask (Match-family backbones take no such kwarg)."""
-    return {} if missing is None else {"missing_mask": missing}
+    cache has no mask, and also when ``net`` is given but its
+    ``__call__`` accepts no such kwarg (a Match-family config with
+    ``missing_tabular`` enabled must not TypeError inside adaptation —
+    its eval forward can't consume the mask either)."""
+    if missing is None or (net is not None
+                           and not accepts_missing_mask(net)):
+        return {}
+    return {"missing_mask": missing}
 
 
 STRATEGIES = ("tent", "bn_adapt", "eata", "sar")
@@ -127,7 +145,8 @@ def estimate_bn_stats(cfg, algo, state, cache):
         _, mut = stats_net.apply(
             {"params": state.params, "batch_stats": batch_stats},
             imgs, tabular, train=True, mutable=["batch_stats"],
-            rngs={"dropout": jax.random.key(0)}, **missing_kw(missing))
+            rngs={"dropout": jax.random.key(0)},
+            **missing_kw(missing, stats_net))
         # recover the raw test-batch statistics from flax's internal
         # blend (new = m*old + (1-m)*batch), then apply tta_momentum once
         batch = jax.tree_util.tree_map(
@@ -168,7 +187,7 @@ def _tent_phase(cfg, algo, state, cache):
         def loss_fn(p):
             outs = net.apply({"params": p, "batch_stats": bs},
                              imgs, tabular, train=False,
-                             **missing_kw(missing))
+                             **missing_kw(missing, net))
             probs = jax.nn.softmax(outs["out_m"].astype(jnp.float32),
                                    axis=1)
             return jnp.mean(entropy(probs))
@@ -178,8 +197,12 @@ def _tent_phase(cfg, algo, state, cache):
         return optax.apply_updates(params, updates), new_opt
 
     params = state.params
-    for _ in range(steps):
-        for images, tabular, missing in tta_batches(cache, batch_size):
+    for ep in range(steps):
+        # epoch-dependent seed: each adaptation epoch sees a fresh
+        # permutation (a fixed seed would replay the identical batch
+        # order every epoch)
+        for images, tabular, missing in tta_batches(cache, batch_size,
+                                                    seed=ep):
             params, opt_state = tent_step(params, opt_state, images,
                                           tabular, missing)
     return dataclasses.replace(state, params=params)

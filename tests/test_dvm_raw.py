@@ -123,16 +123,27 @@ def test_full_assembly_contract():
     assert all(f == 1 for f in out["field_lengths"][4:])
     feats, labels, ids, names = out["splits"]["train"]
     assert list(feats.columns) == list(dvm_raw.FINAL_COLS)
-    # z-scoring is GLOBAL (notebook encodes the full table before the
-    # cell-21 split): the concatenation of all splits is standard
-    # normal per column, not each split individually
+    # the 9 continuous columns are z-scored GLOBALLY (cell 10 encodes
+    # the full table before the cell-21 split): the concatenation of
+    # all splits is standard normal per column, not each split
     all_feats = pd.concat([out["splits"][s][0]
                            for s in ("train", "val", "test")])
     for c in dvm_raw.FINAL_COLS[4:]:
+        if c in dvm_raw.PHYSICAL_COLS:
+            continue
         col = np.asarray(all_feats[c], np.float64)
         assert abs(col.mean()) < 1e-6
         assert (abs(col.std(ddof=1) - 1) < 1e-6
                 or np.allclose(col, 0.0))
+    # ...while the 4 physical columns are z-scored PER SPLIT (cell 35's
+    # create_feature_files writes each split with its own mean/std)
+    for s in ("train", "val", "test"):
+        sf = out["splits"][s][0]
+        for c in dvm_raw.PHYSICAL_COLS:
+            col = np.asarray(sf[c], np.float64)
+            assert abs(col.mean()) < 1e-6, (s, c)
+            assert (abs(col.std(ddof=1) - 1) < 1e-6
+                    or np.allclose(col, 0.0)), (s, c)
     # categorical codes are shared across splits: rebuild the
     # value->code map per split and require agreement
     cat_map = out["category_mappings"]
