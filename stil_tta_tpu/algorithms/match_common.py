@@ -32,6 +32,7 @@ from stil_tta_tpu.algorithms.base import DAState, TrainState
 from stil_tta_tpu.data.augment import (default_pipeline, hard_eval_pipeline,
                                        strong_pipeline, weak_pipeline)
 from stil_tta_tpu.data.corrupt import corrupt_tabular
+from stil_tta_tpu.losses.common import at_least_f32
 from stil_tta_tpu.models.backbones import MatchBackbone
 from stil_tta_tpu.models.layers import MLPHead
 from stil_tta_tpu.models.resnet import EMBEDDING_DIM, image_encoder
@@ -56,10 +57,10 @@ class ImagingNet(nn.Module):
         pooled = image_encoder(self.encoder, dtype=self.dtype)(
             image, train=train)[0]
         logits = nn.Dense(self.num_classes, param_dtype=jnp.float32,
-                          name="classifier")(pooled.astype(jnp.float32))
+                          name="classifier")(at_least_f32(pooled))
         emb = MLPHead(pooled.shape[-1], self.projection_dim,
                       dtype=self.dtype, name="head")(pooled)
-        emb = emb.astype(jnp.float32)
+        emb = at_least_f32(emb)
         emb = emb / jnp.clip(jnp.linalg.norm(emb, axis=1, keepdims=True),
                              1e-12)
         return logits, emb

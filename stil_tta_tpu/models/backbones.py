@@ -94,10 +94,10 @@ class DisCoBackbone(nn.Module):
                                dtype=self.dtype, name=f"fusion_{i}")
             for i in range(self.multimodal_num_layers)
         ]
-        self.classifier_multimodal = Linear(self.num_classes,
-                                            dtype=jnp.float32)
-        self.classifier_imaging = Linear(self.num_classes, dtype=jnp.float32)
-        self.classifier_tabular = Linear(self.num_classes, dtype=jnp.float32)
+        head_t = jnp.promote_types(self.dtype, jnp.float32)
+        self.classifier_multimodal = Linear(self.num_classes, dtype=head_t)
+        self.classifier_imaging = Linear(self.num_classes, dtype=head_t)
+        self.classifier_tabular = Linear(self.num_classes, dtype=head_t)
 
     def encode(self, image, tabular, train: bool, missing_mask=None):
         """Disentangled features (``STiLModel_backbone.py:118-132``)."""
@@ -177,8 +177,9 @@ class MatchBackbone(nn.Module):
             Linear(hid, dtype=self.dtype)
             if self.tabular_embedding_dim != hid else None)
         self.head = MLPHead(hid, self.projection_dim, dtype=self.dtype)
-        self.classifier_multimodal = Linear(self.num_classes,
-                                            dtype=jnp.float32)
+        self.classifier_multimodal = Linear(
+            self.num_classes, dtype=jnp.promote_types(self.dtype,
+                                                       jnp.float32))
 
     def __call__(self, image, tabular, train: bool = False):
         x_i = self.encoder_imaging(image, train=train)[0]
@@ -187,8 +188,8 @@ class MatchBackbone(nn.Module):
         if self.tabular_proj is not None:
             t_cls = self.tabular_proj(t_cls)
         x_m = jnp.concatenate([self.image_proj(x_i), t_cls], axis=1)
-        embedding = self.head(x_m).astype(jnp.float32)
-        logits = self.classifier_multimodal(x_m.astype(jnp.float32))
+        embedding = at_least_f32(self.head(x_m))
+        logits = self.classifier_multimodal(at_least_f32(x_m))
         embedding = embedding / (
             jnp.linalg.norm(embedding, axis=1, keepdims=True) + 1e-12)
         return logits, embedding
@@ -235,10 +236,10 @@ class SemiMultimodalBackbone(nn.Module):
             Linear(hid, dtype=self.dtype)
             if self.tabular_embedding_dim != hid else None)
         self.multimodal_proj = Linear(self.projection_dim, dtype=self.dtype)
-        self.classifier_multimodal = Linear(self.num_classes,
-                                            dtype=jnp.float32)
-        self.classifier_imaging = Linear(self.num_classes, dtype=jnp.float32)
-        self.classifier_tabular = Linear(self.num_classes, dtype=jnp.float32)
+        head_t = jnp.promote_types(self.dtype, jnp.float32)
+        self.classifier_multimodal = Linear(self.num_classes, dtype=head_t)
+        self.classifier_imaging = Linear(self.num_classes, dtype=head_t)
+        self.classifier_tabular = Linear(self.num_classes, dtype=head_t)
         del pooled
 
     def __call__(self, image, tabular, train: bool = False):
@@ -249,7 +250,7 @@ class SemiMultimodalBackbone(nn.Module):
             else t_cls
         x_m = self.multimodal_proj(
             jnp.concatenate([self.image_proj(x_i), proj_t], axis=1))
-        out_m = self.classifier_multimodal(x_m.astype(jnp.float32))
-        out_i = self.classifier_imaging(x_i.astype(jnp.float32))
-        out_t = self.classifier_tabular(t_cls.astype(jnp.float32))
-        return out_m, out_i, out_t, x_m.astype(jnp.float32)
+        out_m = self.classifier_multimodal(at_least_f32(x_m))
+        out_i = self.classifier_imaging(at_least_f32(x_i))
+        out_t = self.classifier_tabular(at_least_f32(t_cls))
+        return out_m, out_i, out_t, at_least_f32(x_m)

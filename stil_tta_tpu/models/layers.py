@@ -76,13 +76,16 @@ def _merge_heads(x, flat: bool = False):
 
 def scaled_attention(q, k, v, scale: float, mask=None, dropout_rate: float = 0.0,
                      deterministic: bool = True, dropout_rng=None):
-    """Softmax attention with additive mask; accumulates in f32.
+    """Softmax attention with additive mask; accumulates in at-least-f32
+    (f64 inputs keep f64 accumulation — the f64 golden-parity tests run
+    truly end-to-end f64).
 
     Matches ``Transformer.py:72-85`` (mask is *added* pre-softmax, the
     reference's -1e9 convention).
     """
+    acc_t = jnp.promote_types(v.dtype, jnp.float32)
     attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                      preferred_element_type=jnp.float32) * scale
+                      preferred_element_type=acc_t) * scale
     if mask is not None:
         attn = attn + mask
     attn = jax.nn.softmax(attn, axis=-1)
@@ -90,7 +93,7 @@ def scaled_attention(q, k, v, scale: float, mask=None, dropout_rate: float = 0.0
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
         attn = attn * keep / (1.0 - dropout_rate)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=acc_t)
     return out.astype(v.dtype), attn
 
 
@@ -134,13 +137,14 @@ class Attention(nn.Module):
             # zero probe added to the post-softmax map: grads w.r.t. the
             # probe ARE the attention-map gradients (the reference's
             # save_attn_gradients hook, ``Transformer.py:51-55``)
+            acc_t = jnp.promote_types(v.dtype, jnp.float32)
             attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                              preferred_element_type=jnp.float32) * scale
+                              preferred_element_type=acc_t) * scale
             if mask is not None:
                 attn = attn + mask
             attn = jax.nn.softmax(attn, axis=-1) + attn_probe
             out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
-                             preferred_element_type=jnp.float32) \
+                             preferred_element_type=acc_t) \
                 .astype(v.dtype)
         out = _merge_heads(out, flat=flat)
         out = Dense(dim, dtype=self.dtype, name="proj")(out)

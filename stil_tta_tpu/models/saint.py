@@ -54,11 +54,14 @@ class SaintAttention(nn.Module):
                        param_dtype=jnp.float32, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (_split_heads(t, self.heads) for t in (q, k, v))
+        # accumulate in at-least-f32 (f64 inputs keep f64 — the golden
+        # parity tests run end-to-end f64)
+        acc_t = jnp.promote_types(v.dtype, jnp.float32)
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=acc_t)
         attn = jax.nn.softmax(attn * self.dim_head ** -0.5, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32).astype(v.dtype)
+                         preferred_element_type=acc_t).astype(v.dtype)
         out = _merge_heads(out)
         return nn.Dense(dim, dtype=self.dtype, param_dtype=jnp.float32,
                         name="to_out")(out)
@@ -151,29 +154,35 @@ class SAINTEncoder(nn.Module):
         tokens = jnp.concatenate([x_categ_enc, x_cont_enc], axis=1)
         n = tokens.shape[1]
 
+        # Reference quirk (ground-truthed against the real module,
+        # tests/test_reference_golden.py): SAINT composes each sublayer
+        # as ``PreNorm(dim, Residual(fn))`` (``model_util.py:24-39``),
+        # i.e. ``fn(norm(x)) + norm(x)`` — the residual carries the
+        # NORMED input, not the raw one (the standard pre-norm form
+        # ``x + fn(norm(x))`` is NOT what the reference computes).
         for layer in range(self.depth):
             if self.attentiontype in ("col", "colrow"):
-                h = nn.LayerNorm(param_dtype=jnp.float32, dtype=self.dtype,
+                h = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, dtype=self.dtype,
                                  name=f"l{layer}_norm_col")(tokens)
-                tokens = tokens + SaintAttention(
+                tokens = h + SaintAttention(
                     self.heads, self.dim_head, dtype=self.dtype,
                     name=f"l{layer}_attn_col")(h)
-                h = nn.LayerNorm(param_dtype=jnp.float32, dtype=self.dtype,
+                h = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, dtype=self.dtype,
                                  name=f"l{layer}_norm_ff_col")(tokens)
-                tokens = tokens + GEGLUFeedForward(
+                tokens = h + GEGLUFeedForward(
                     4, self.ff_dropout, dtype=self.dtype,
                     name=f"l{layer}_ff_col")(h, deterministic)
             if self.attentiontype in ("row", "colrow"):
                 # intersample attention: batch becomes the sequence axis
                 flat = tokens.reshape(1, b, n * dim)
-                h = nn.LayerNorm(param_dtype=jnp.float32, dtype=self.dtype,
+                h = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, dtype=self.dtype,
                                  name=f"l{layer}_norm_row")(flat)
-                flat = flat + SaintAttention(
+                flat = h + SaintAttention(
                     self.heads, 64, dtype=self.dtype,
                     name=f"l{layer}_attn_row")(h)
-                h = nn.LayerNorm(param_dtype=jnp.float32, dtype=self.dtype,
+                h = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, dtype=self.dtype,
                                  name=f"l{layer}_norm_ff_row")(flat)
-                flat = flat + GEGLUFeedForward(
+                flat = h + GEGLUFeedForward(
                     4, self.ff_dropout, dtype=self.dtype,
                     name=f"l{layer}_ff_row")(h, deterministic)
                 tokens = flat.reshape(b, n, dim)

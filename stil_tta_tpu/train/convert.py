@@ -161,7 +161,8 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray], variables,
         new_stats[path] = v.astype(np.asarray(value).dtype)
 
     leftovers = {k for k in sd if k not in used
-                 and "num_batches_tracked" not in k}
+                 and "num_batches_tracked" not in k
+                 and not _saint_inert_key(k)}
     if strict and leftovers:
         raise KeyError(
             f"{len(leftovers)} torch keys unconsumed, e.g. "
@@ -296,6 +297,30 @@ def _saint_value(path, expect, get):
 
 
 _SAINT_HEADS = ("embeds", "pos_encodings")
+
+
+# SAINT state entries that never participate in the backbone forward
+# (verified against the real reference module,
+# ``STiLModel_SAINT_backbone.py:160-184`` / ``SAINT/Tabular_Encoder.py``):
+# the SSL-pretraining heads (mlp1/mlp2/mlpfory/pt_mlp/pt_mlp2), the mask
+# embeddings (mask_embeds_*/single_mask — used only by SAINT's own
+# masked pretraining), the derived offset BUFFERS
+# (categories_offset/cat_mask_offset/con_mask_offset — recomputed from
+# field lengths), and the wrapper's ``cls_token``: a float parameter
+# cast ``.long()`` as a category index (``:162``) — the cast blocks all
+# gradients, so it is the constant index 0 in every checkpoint.
+_SAINT_INERT = re.compile(
+    r"(^cls_token$"          # the SAINT wrapper's own, not TIP's
+    r"|(^|\.)encoder_tabular\.(mask_embeds_cat|mask_embeds_cont"
+    r"|single_mask|mlp|mlp1|mlp2|mlpfory|pt_mlp|pt_mlp2|norm"
+    r"|categories_offset|cat_mask_offset|con_mask_offset"
+    # RowColTransformer declares embeds/mask_embed but never uses them
+    # in forward (``SAINT/model_util.py:93-95,111-129``)
+    r"|transformer\.embeds|transformer\.mask_embed)(\.|$))")
+
+
+def _saint_inert_key(key: str) -> bool:
+    return bool(_SAINT_INERT.search(key))
 
 
 def _saint_subpath(path):

@@ -30,7 +30,12 @@ class TPreNormResidual(nn.Module):
         self.fn.fn = fn
 
     def forward(self, x):
-        return self.fn.fn(self.norm(x)) + x
+        # the reference's PreNorm(dim, Residual(fn)) composition: the
+        # residual wraps the NORMED input (model_util.py:24-39) — NOT
+        # the standard ``x + fn(norm(x))``; ground-truthed against the
+        # real module in tests/test_reference_golden.py
+        h = self.norm(x)
+        return self.fn.fn(h) + h
 
 
 class TAttn(nn.Module):
