@@ -200,7 +200,8 @@ class STiL:
             cfg.finetune_strategy == "frozen" and cfg.checkpoint) else None
         self.tx = build_optimizer(float(cfg.lr_eval),
                                   float(cfg.weight_decay_eval or 0.0),
-                                  freeze_fn=freeze)
+                                  freeze_fn=freeze,
+                                  mu_dtype=cfg.adam_mu_dtype)
         target = cfg.target
         img_size = int(cfg.img_size)
         self.aug_train = contrastive_pipeline(
@@ -281,6 +282,7 @@ class STiL:
         momentum = float(cfg.ema_momentum)
         use_ema, eman, use_da = self.use_ema, self.eman, bool(cfg.DA)
         binary = c == 2
+        m_micro = int(cfg.micro_batches or 1)
 
         def cal_prototypes(label, feat):
             """``STiLModel.py:199-226``; labeled sums scaled 1/repeat."""
@@ -351,6 +353,63 @@ class STiL:
                 "pseudo_label_all": pseudo_label_all, "da": da,
             }
 
+        def assemble_losses(outs, tg, y_l, b_l, prototypes):
+            """The STiL loss graph (``STiLModel.py:284-345``) given the
+            student outputs and the derived CGPL/PGLS targets. Shared by
+            the single-batch and micro-batched steps — all reductions
+            are means over the rows passed in, so a mean of equal-sized
+            chunk losses equals the full-batch loss for every
+            per-sample-decomposable term."""
+            f = lambda m: m.astype(jnp.float32)
+            case1, case2_i = tg["case1"], tg["case2_i"]
+            case2_t, case3 = tg["case2_t"], tg["case3"]
+            mask1, mask_rand = tg["mask1"], tg["mask_rand"]
+            pseudo_label = tg["pseudo_label"]
+            use_pseudo = tg["use_pseudo"]
+            yh_m, yh_i, yh_t = outs["out_m"], outs["out_i"], outs["out_t"]
+            loss_ce = (cross_entropy(yh_m[:b_l], y_l)
+                       + cross_entropy(yh_i[:b_l], y_l)
+                       + cross_entropy(yh_t[:b_l], y_l))
+            loss_m_u = jnp.mean(
+                soft_cross_entropy(yh_m[b_l:], pseudo_label, "none")
+                * mask1 * f(case1))
+            loss_i_u = jnp.mean(
+                soft_cross_entropy(yh_i[b_l:], pseudo_label, "none")
+                * mask1 * (f(case1) + f(case2_t) + f(case3) * mask_rand))
+            loss_t_u = jnp.mean(
+                soft_cross_entropy(yh_t[b_l:], pseudo_label, "none")
+                * mask1 * (f(case1) + f(case2_i)
+                           + f(case3) * (1 - mask_rand)))
+            loss_itc, _, _ = clip_loss(outs["feat_i"], outs["feat_t"],
+                                       temp, lam0)
+            club_i, club_i_est = club_losses(outs["mu_i"], outs["x_ai"])
+            club_t, club_t_est = club_losses(outs["mu_t"], outs["x_at"])
+            loss_pt = prototype_loss(tg["pseudo_label_all"], prototypes,
+                                     outs["feat_m"], temp, th1)
+            base = (alpha * loss_ce + beta * loss_itc
+                    + gamma * (club_i + club_i_est
+                               + club_t + club_t_est))
+            extra = (rate_pt * loss_pt
+                     + rate_uce * (loss_m_u + loss_i_u + loss_t_u))
+            total = base + use_pseudo * extra
+            logs = {
+                "CEloss": loss_ce, "CEloss_unlabelled_m": loss_m_u,
+                "CEloss_unlabelled_i": loss_i_u,
+                "CEloss_unlabelled_t": loss_t_u,
+                "threshold1_ratio": jnp.mean(mask1),
+                "case1_ratio": jnp.mean(f(case1)),
+                "case2_i_ratio": jnp.mean(f(case2_i)),
+                "case2_t_ratio": jnp.mean(f(case2_t)),
+                "case3_ratio": jnp.mean(f(case3)),
+                "ITCloss": loss_itc,
+                "CLUBloss_imaging": club_i,
+                "CLUBloss_imaging_est": club_i_est,
+                "CLUBloss_tabular": club_t,
+                "CLUBloss_tabular_est": club_t_est,
+                "PTloss": loss_pt, "loss": total,
+            }
+            return total, logs
+
         def step(state: STiLState, cache_l, cache_u, idx_l, idx_u,
                  epoch: jax.Array):
             rng, k_views, k_drop, k_case3 = jax.random.split(state.rng, 4)
@@ -412,53 +471,8 @@ class STiL:
                         "out_t": outs["out_t"], "feat_m": outs["feat_m"]})
                 tg = derive_targets(tout, state.da, prototypes,
                                     k_case3, b_l, y_l, epoch)
-                case1, case2_i = tg["case1"], tg["case2_i"]
-                case2_t, case3 = tg["case2_t"], tg["case3"]
-                mask1, mask_rand = tg["mask1"], tg["mask_rand"]
-                pseudo_label = tg["pseudo_label"]
-                use_pseudo = tg["use_pseudo"]
-                yh_m, yh_i, yh_t = outs["out_m"], outs["out_i"], outs["out_t"]
-                loss_ce = (cross_entropy(yh_m[:b_l], y_l)
-                           + cross_entropy(yh_i[:b_l], y_l)
-                           + cross_entropy(yh_t[:b_l], y_l))
-                loss_m_u = jnp.mean(
-                    soft_cross_entropy(yh_m[b_l:], pseudo_label, "none")
-                    * mask1 * f(case1))
-                loss_i_u = jnp.mean(
-                    soft_cross_entropy(yh_i[b_l:], pseudo_label, "none")
-                    * mask1 * (f(case1) + f(case2_t) + f(case3) * mask_rand))
-                loss_t_u = jnp.mean(
-                    soft_cross_entropy(yh_t[b_l:], pseudo_label, "none")
-                    * mask1 * (f(case1) + f(case2_i)
-                               + f(case3) * (1 - mask_rand)))
-                loss_itc, _, _ = clip_loss(outs["feat_i"], outs["feat_t"],
-                                           temp, lam0)
-                club_i, club_i_est = club_losses(outs["mu_i"], outs["x_ai"])
-                club_t, club_t_est = club_losses(outs["mu_t"], outs["x_at"])
-                loss_pt = prototype_loss(tg["pseudo_label_all"], prototypes,
-                                         outs["feat_m"], temp, th1)
-                base = (alpha * loss_ce + beta * loss_itc
-                        + gamma * (club_i + club_i_est
-                                   + club_t + club_t_est))
-                extra = (rate_pt * loss_pt
-                         + rate_uce * (loss_m_u + loss_i_u + loss_t_u))
-                total = base + use_pseudo * extra
-                logs = {
-                    "CEloss": loss_ce, "CEloss_unlabelled_m": loss_m_u,
-                    "CEloss_unlabelled_i": loss_i_u,
-                    "CEloss_unlabelled_t": loss_t_u,
-                    "threshold1_ratio": jnp.mean(mask1),
-                    "case1_ratio": jnp.mean(f(case1)),
-                    "case2_i_ratio": jnp.mean(f(case2_i)),
-                    "case2_t_ratio": jnp.mean(f(case2_t)),
-                    "case3_ratio": jnp.mean(f(case3)),
-                    "ITCloss": loss_itc,
-                    "CLUBloss_imaging": club_i,
-                    "CLUBloss_imaging_est": club_i_est,
-                    "CLUBloss_tabular": club_t,
-                    "CLUBloss_tabular_est": club_t_est,
-                    "PTloss": loss_pt, "loss": total,
-                }
+                total, logs = assemble_losses(outs, tg, y_l, b_l,
+                                              prototypes)
                 return total, (mut["batch_stats"], ema_p, ema_bs,
                                outs["out_m"], logs, tg)
 
@@ -502,7 +516,175 @@ class STiL:
                 auc_train=auc, auc_train_u=auc_u,
                 log_sums=new_logs, log_count=state.log_count + 1.0)
 
-        return jax.jit(step, donate_argnums=(0,))
+        def step_micro(state: STiLState, cache_l, cache_u, idx_l, idx_u,
+                       epoch: jax.Array):
+            """Micro-batched train step (``micro_batches: m > 1``): the
+            batch is processed as ``m`` sequential chunks of B/m with
+            gradients accumulated and ONE Adam + EMAN update per step.
+
+            Why: per-sample FLOPs and HBM bytes are batch-invariant, but
+            the v5e runs the identical step ~7% faster per sample at
+            B=128 than at B=512 (docs/BENCHMARKS.md batch curve) — the
+            4x-smaller saved-activation working set schedules better.
+            Chunking recovers that efficiency at the reference's
+            effective batch size.
+
+            Documented divergences from the reference's single-batch
+            semantics (all bounded by the ±0.3% accuracy gate,
+            docs/BENCHMARKS.md round-4 'fast numerics profile'):
+            - BN batch statistics per chunk ("ghost batch norm", B/m
+              effective stat batch; running stats lerped m times/step),
+            - ITC (CLIP) + CLUB in-batch negatives drawn from the chunk,
+            - the EMAN lerp of BN *running stats* consumes the pre-step
+              values (the reference lerps post-forward ones; the param
+              lerp is identical — the optimizer hasn't stepped yet),
+            - DA: each chunk aligns against the queue with its own chunk
+              mean in the new slot; the committed slot is the full-batch
+              mean (mean of chunk means), so the cross-step DA state
+              matches the reference's form exactly.
+            Everything else — CGPL case routing, PGLS blending,
+            prototype sums, labeled CE, metrics, the Adam update — is
+            per-sample-decomposable and therefore exact.
+            """
+            rng, k_views, k_drop, k_case3 = jax.random.split(state.rng, 4)
+            prototypes = state.prototypes
+            params = state.params
+
+            if use_ema:
+                ema_p, ema_bs = ema_update(
+                    state.ema_params, params["backbone"], momentum, eman,
+                    state.ema_batch_stats,
+                    state.batch_stats.get("backbone", {}))
+                ema_p = jax.lax.stop_gradient(ema_p)
+                ema_bs = jax.lax.stop_gradient(ema_bs)
+            else:
+                ema_p, ema_bs = state.ema_params, state.ema_batch_stats
+
+            b_l, b_u = idx_l.shape[0], idx_u.shape[0]
+            assert b_l % m_micro == 0 and b_u % m_micro == 0, (
+                f"micro_batches={m_micro} must divide labeled ({b_l}) and "
+                f"unlabeled ({b_u}) batch sizes")
+            il = idx_l.reshape(m_micro, b_l // m_micro)
+            iu = idx_u.reshape(m_micro, b_u // m_micro)
+            blc = b_l // m_micro
+            kv = jax.random.split(k_views, m_micro)
+            kd = jax.random.split(k_drop, m_micro)
+            kc = jax.random.split(k_case3, m_micro)
+            marg_l = marginal_table(cache_l)
+            marg_u = marginal_table(cache_u)
+
+            def body(carry, xs):
+                (bstats, gacc, da_acc, psum, pcnt, acc, acc_u, auc,
+                 auc_u, lacc) = carry
+                il_c, iu_c, kv_c, kd_c, kc_c = xs
+                bl = gather_batch(cache_l, il_c)
+                bu = gather_batch(cache_u, iu_c)
+                y_l, y_u = bl["labels"], bu["labels"]
+                img_l, tab_l, img_u, tab_u = self._views(
+                    kv_c, bl["images"], bl["tabular"], bu["images"],
+                    bu["tabular"], marg_l, marg_u)
+                images = jnp.concatenate([img_l, img_u], axis=0)
+                tabs = jnp.concatenate([tab_l, tab_u], axis=0)
+                missing = None
+                if "missing" in bl and "missing" in bu:
+                    missing = jnp.concatenate(
+                        [bl["missing"], bu["missing"]], axis=0)
+
+                def loss_fn(p):
+                    outs, mut = net.apply(
+                        {"params": p, "batch_stats": bstats},
+                        images, tabs, train=True, missing_mask=missing,
+                        mutable=["batch_stats"], rngs={"dropout": kd_c})
+                    if use_ema:
+                        t_params = dict(p)
+                        t_params["backbone"] = ema_p
+                        t_stats = dict(bstats)
+                        t_stats["backbone"] = ema_bs
+                        tout = net.apply({"params": t_params,
+                                          "batch_stats": t_stats},
+                                         images, tabs, missing,
+                                         method=STiLNet.teacher)
+                        tout = jax.lax.stop_gradient(tout)
+                    else:
+                        tout = jax.lax.stop_gradient({
+                            "out_m": outs["out_m"], "out_i": outs["out_i"],
+                            "out_t": outs["out_t"],
+                            "feat_m": outs["feat_m"]})
+                    tg = derive_targets(tout, state.da, prototypes,
+                                        kc_c, blc, y_l, epoch)
+                    total, logs = assemble_losses(outs, tg, y_l, blc,
+                                                  prototypes)
+                    return total, (mut["batch_stats"], outs["out_m"],
+                                   logs, tg)
+
+                grads, (new_bstats, yh_m, logs, tg) = jax.grad(
+                    loss_fn, has_aux=True)(params)
+                gacc = jax.tree_util.tree_map(
+                    lambda a, g: a + g.astype(a.dtype), gacc, grads)
+                if use_da:
+                    # the chunk's batch-mean sits in the slot the chunk's
+                    # alignment wrote (state.da.ptr is fixed this step)
+                    da_acc = da_acc + tg["da"].queue[state.da.ptr]
+                pseudo_label_all = tg["pseudo_label_all"]
+                sum_l, cnt_l = cal_prototypes(pseudo_label_all[:blc],
+                                              tg["feat_m_le"])
+                sum_u, cnt_u = cal_prototypes(pseudo_label_all[blc:],
+                                              tg["feat_m_ue"])
+                psum = psum + sum_l / repeat_ratio + sum_u
+                pcnt = pcnt + cnt_l / repeat_ratio + cnt_u
+                prob_m = jax.nn.softmax(yh_m, axis=1)
+                pm_l, pm_u = prob_m[:blc], prob_m[blc:]
+                if binary:
+                    pm_l, pm_u = pm_l[:, 1], pm_u[:, 1]
+                acc = accuracy_update(acc, pm_l, y_l)
+                acc_u = accuracy_update(acc_u, pm_u, y_u)
+                if binary:
+                    auc = auroc_update(auc, pm_l, y_l)
+                    auc_u = auroc_update(auc_u, pm_u, y_u)
+                lacc = {k: lacc[k] + logs[k] for k in LOG_KEYS}
+                return (new_bstats, gacc, da_acc, psum, pcnt, acc,
+                        acc_u, auc, auc_u, lacc), None
+
+            zero_g = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, p.dtype), params)
+            pdim = prototypes.shape[1]
+            carry0 = (
+                state.batch_stats, zero_g,
+                jnp.zeros((c,), jnp.float32),
+                jnp.zeros((c, pdim), jnp.float32),
+                jnp.zeros((c, 1), jnp.float32),
+                state.acc_train, state.acc_train_u,
+                state.auc_train, state.auc_train_u,
+                {k: jnp.zeros((), jnp.float32) for k in LOG_KEYS})
+            (new_stats, gacc, da_acc, psum, pcnt, acc, acc_u, auc,
+             auc_u, lacc), _ = jax.lax.scan(
+                body, carry0, (il, iu, kv, kd, kc))
+
+            grads = jax.tree_util.tree_map(lambda g: g / m_micro, gacc)
+            updates, new_opt = tx.update(grads, state.opt_state, params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), params, updates)
+            if use_da:
+                queue = state.da.queue.at[state.da.ptr].set(
+                    da_acc / m_micro)
+                da = DAState(queue,
+                             (state.da.ptr + 1) % state.da.queue.shape[0])
+            else:
+                da = state.da
+            new_logs = {k: state.log_sums[k] + lacc[k] / m_micro
+                        for k in LOG_KEYS}
+            return dataclasses.replace(
+                state, params=new_params, batch_stats=new_stats,
+                opt_state=new_opt, ema_params=ema_p,
+                ema_batch_stats=ema_bs, rng=rng, step=state.step + 1,
+                prototypes_sum=state.prototypes_sum + psum,
+                prototypes_count=state.prototypes_count + pcnt,
+                da=da, acc_train=acc, acc_train_u=acc_u,
+                auc_train=auc, auc_train_u=auc_u,
+                log_sums=new_logs, log_count=state.log_count + 1.0)
+
+        return jax.jit(step if m_micro == 1 else step_micro,
+                       donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def epoch_end(self, state: STiLState):

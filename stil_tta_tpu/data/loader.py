@@ -22,6 +22,7 @@ that — so the pipeline is inverted:
 from __future__ import annotations
 
 import threading
+import time
 import queue as queue_mod
 from typing import Iterator, Optional
 
@@ -191,6 +192,12 @@ class HostStream:
         self.sampler = sampler
         self.depth = depth
         self.sharding = sharding
+        # overlap instrumentation (read by bench.py --host_stream):
+        # per-item consumer wait on the prefetch queue (ms; ~0 when the
+        # assembly+transfer hides under the consumer's dispatch window)
+        # and queue occupancy right after each get. Reset per epoch call.
+        self.waits_ms: list = []
+        self.occupancy: list = []
 
     def _assemble(self, idx: np.ndarray, w: np.ndarray) -> dict:
         from stil_tta_tpu.data import native_loader
@@ -244,6 +251,8 @@ class HostStream:
     def _prefetched(self, produce) -> Iterator:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.depth)
         stop = object()
+        self.waits_ms = []
+        self.occupancy = []
 
         def worker():
             for item in produce():
@@ -253,7 +262,10 @@ class HostStream:
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         while True:
+            t0 = time.perf_counter()
             item = q.get()
+            self.waits_ms.append((time.perf_counter() - t0) * 1e3)
+            self.occupancy.append(q.qsize())
             if item is stop:
                 break
             yield item

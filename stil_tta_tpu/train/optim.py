@@ -23,17 +23,31 @@ import optax
 def build_optimizer(lr: float, weight_decay: float = 0.0,
                     b1: float = 0.9, b2: float = 0.999,
                     eps: float = 1e-8,
-                    freeze_fn=None) -> optax.GradientTransformation:
+                    freeze_fn=None,
+                    mu_dtype=None) -> optax.GradientTransformation:
     """torch.optim.Adam-parity optimizer. ``freeze_fn(params) -> bool
     pytree`` marks leaves whose updates are zeroed (the reference's
     ``finetune_strategy: frozen`` encoder freeze,
-    ``STiLModel_backbone.py:79-84``)."""
+    ``STiLModel_backbone.py:79-84``).
+
+    ``mu_dtype``: storage dtype of Adam's FIRST moment (``None`` = the
+    param dtype, f32). ``'bfloat16'`` halves the moment's HBM traffic in
+    the update; with b1=0.9 each step writes ~10% of the new gradient
+    into mu, far above bf16's ~0.4% resolution, so the quantization is
+    benign. The SECOND moment stays f32 deliberately: with b2=0.999 its
+    per-step increment is ~0.1% of the running value — below bf16
+    resolution, so a bf16 nu would stop accumulating entirely."""
+    if isinstance(mu_dtype, str):
+        import jax.numpy as jnp
+        mu_dtype = jnp.dtype(mu_dtype)
+
     def make(learning_rate):
         txs = []
         if weight_decay:
             # torch Adam: grad += wd * param *before* the moment update
             txs.append(optax.add_decayed_weights(weight_decay))
-        txs.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        txs.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps,
+                                       mu_dtype=mu_dtype))
         txs.append(optax.scale_by_learning_rate(learning_rate))
         if freeze_fn is not None:
             txs.append(optax.masked(optax.set_to_zero(), freeze_fn))
