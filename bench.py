@@ -95,6 +95,10 @@ def main():
     mu_env = os.environ.get("STIL_BENCH_MU_DTYPE")
     if mu_env:
         cfg.adam_mu_dtype = mu_env
+    # STIL_BENCH_UNROLL unrolls the chunk scan (pure scheduling; math
+    # and accumulation order identical to the rolled micro-batch scan)
+    cfg.micro_unroll = int(os.environ.get("STIL_BENCH_UNROLL",
+                                          str(cfg.micro_unroll or 1)))
 
     src_l = synthetic_source(max(l_batch * 4, 256),
                              num_classes=num_classes,

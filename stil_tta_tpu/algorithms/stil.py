@@ -283,6 +283,7 @@ class STiL:
         use_ema, eman, use_da = self.use_ema, self.eman, bool(cfg.DA)
         binary = c == 2
         m_micro = int(cfg.micro_batches or 1)
+        m_unroll = max(1, min(int(cfg.micro_unroll or 1), m_micro))
 
         def cal_prototypes(label, feat):
             """``STiLModel.py:199-226``; labeled sums scaled 1/repeat."""
@@ -658,7 +659,7 @@ class STiL:
                 {k: jnp.zeros((), jnp.float32) for k in LOG_KEYS})
             (new_stats, gacc, da_acc, psum, pcnt, acc, acc_u, auc,
              auc_u, lacc), _ = jax.lax.scan(
-                body, carry0, (il, iu, kv, kd, kc))
+                body, carry0, (il, iu, kv, kd, kc), unroll=m_unroll)
 
             grads = jax.tree_util.tree_map(lambda g: g / m_micro, gacc)
             updates, new_opt = tx.update(grads, state.opt_state, params)
