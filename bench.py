@@ -262,11 +262,15 @@ def main():
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops_per_step = float(ca["flops"])
-        # micro-batched step: the chunk scan's while-body (one chunk =
-        # 1/m of the step) is what the executable's cost analysis
-        # reports once — scale back to the full step
+        # micro-batched step: the chunk scan's while-body is what the
+        # executable's cost analysis reports once; with micro_unroll=u
+        # the body holds u chunks (u=m: fully unrolled, no while loop —
+        # the analysis already covers the whole step), so scale by the
+        # number of bodies per step, m/u
         if cfg.micro_batches and int(cfg.micro_batches) > 1:
-            flops_per_step *= int(cfg.micro_batches)
+            m = int(cfg.micro_batches)
+            u = max(1, min(int(cfg.micro_unroll or 1), m))
+            flops_per_step *= m / u
         # bf16 peak FLOP/s by device kind. NB v5e is 197 TFLOP/s bf16
         # (394 is its *int8* TOPS — a 2x MFU error in earlier rounds);
         # calibration: a dead-code-proof chained 8192^3 bf16 matmul

@@ -310,7 +310,10 @@ _SAINT_HEADS = ("embeds", "pos_encodings")
 # cast ``.long()`` as a category index (``:162``) — the cast blocks all
 # gradients, so it is the constant index 0 in every checkpoint.
 _SAINT_INERT = re.compile(
-    r"(^cls_token$"          # the SAINT wrapper's own, not TIP's
+    # the SAINT wrapper's own cls_token (bare, or under the Lightning
+    # module's ``model.`` prefix) — NOT TIP's ``...encoder_tabular.
+    # cls_token``, which is a live parameter the tree-walk consumes
+    r"(^(model\.)?cls_token$"
     r"|(^|\.)encoder_tabular\.(mask_embeds_cat|mask_embeds_cont"
     r"|single_mask|mlp|mlp1|mlp2|mlpfory|pt_mlp|pt_mlp2|norm"
     r"|categories_offset|cat_mask_offset|con_mask_offset"

@@ -280,13 +280,33 @@ def _teacher_sd(tm):
     return sd
 
 
-def test_stil_training_step_golden_trajectory(x64, monkeypatch, tmp_path):
+def _run_stil_golden_trajectory(saint, monkeypatch, tmp_path):
+    """Drives the REAL reference STiL Lightning module (transformer or
+    SAINT tabular encoder) for the multi-epoch trajectory described in
+    the module docstring. The SAINT variant
+    (``models/Disentangle/STiLModel_SAINT.py``, class
+    ``SemiDisCoPseudoSmooth``) is train-logic-identical to STiLModel
+    (diff-verified, SURVEY.md §2.5) — the differences exercised here are
+    the SAINT backbone in the TRAIN graph (intersample attention over
+    the batch axis, GEGLU FF, the f64-default ``torch.empty`` in
+    ``forward_tabular``) and the EMAN lerp running over the SAINT
+    parameter set (the reference's ``'offset'`` copy quirk at
+    ``STiLModel_SAINT.py:161`` is moot on our side: offsets are
+    recomputed in-graph, not stored)."""
     _install_shims()
     _install_train_shims()
     _single_process_dist(tmp_path, monkeypatch)
-    from models.Disentangle.STiLModel import STiLModel
-    from models.Disentangle.utils.STiLModel_backbone import (
-        DisCoAttentionBackbone)
+    if saint:
+        from models.Disentangle.STiLModel_SAINT import (
+            SemiDisCoPseudoSmooth as STiLModel)
+        from models.Disentangle.utils.STiLModel_SAINT_backbone import (
+            DisCoAttentionBackbone)
+        from stil_tta_tpu.algorithms.stil import STiL_SAINT as AlgoCls
+    else:
+        from models.Disentangle.STiLModel import STiLModel
+        from models.Disentangle.utils.STiLModel_backbone import (
+            DisCoAttentionBackbone)
+        AlgoCls = STiL
 
     # our fusion layer hardcodes the same 0.1 dropouts; run both sides
     # dropout-free (see module docstring)
@@ -330,7 +350,9 @@ def test_stil_training_step_golden_trajectory(x64, monkeypatch, tmp_path):
     cfg["DA"] = True
     cfg["lr_eval"] = LR
     cfg["weight_decay_eval"] = WD
-    algo = STiL(cfg, FIELD_LENGTHS, dtype=jnp.float64)
+    if saint:
+        cfg["saint_ff_dropout"] = 0.0  # both sides run dropout-free
+    algo = AlgoCls(cfg, FIELD_LENGTHS, dtype=jnp.float64)
     state = algo.init_state(jax.random.key(0), jnp.asarray(imgs[:2]),
                             jnp.asarray(tabs[:2]))
     f64 = lambda t: jax.tree_util.tree_map(
@@ -518,3 +540,24 @@ def test_stil_training_step_golden_trajectory(x64, monkeypatch, tmp_path):
     rel_l2_tree(state.ema_batch_stats,
                 conv_post["batch_stats"]["backbone"], 3e-3,
                 "EMAN teacher BN stats")
+
+
+@pytest.fixture
+def torch_f64():
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    yield
+    torch.set_default_dtype(prev)
+
+
+def test_stil_training_step_golden_trajectory(x64, monkeypatch, tmp_path):
+    _run_stil_golden_trajectory(False, monkeypatch, tmp_path)
+
+
+def test_stil_saint_training_step_golden_trajectory(x64, torch_f64,
+                                                    monkeypatch, tmp_path):
+    """STiL_SAINT against the reference's own ``SemiDisCoPseudoSmooth``
+    (``models/Disentangle/STiLModel_SAINT.py``) — the SAINT backbone's
+    intersample attention inside the TRAIN graph plus the full
+    CGPL/PGLS/EMAN/DA trajectory."""
+    _run_stil_golden_trajectory(True, monkeypatch, tmp_path)

@@ -776,20 +776,42 @@ def test_mmatch_training_step_golden_trajectory(x64, tmp_path):
                  "BN running stats")
 
 
-def test_cotrain_training_step_golden_trajectory(x64, tmp_path):
+def _run_cotrain_golden_trajectory(saint, tmp_path):
     """5-step f64 trajectory against the REAL ``CoTraining`` pl module
     (``models/SemiMultimodal/CoTraining.py`` training_step :112-174 on
     the real 3-head backbone): EMAN teacher (state-dict lerp incl. BN
     running stats, :91-108) run in EVAL mode, cross-modal pseudo-labels
     (imaging head supervises tabular and vice versa) soft-CE masked at
     ``co_threshold``, and the real torch Adam.
-    """
+
+    ``saint=True`` runs the diff-identical ``CoTraining_SAINT.py``
+    (backbone import swap only, SURVEY.md §2.5) on the real
+    ``Multimodal_model_SAINT.MultimodalBackbone`` — SAINT's intersample
+    attention inside the TRAIN graph, the 32-wide CLS feeding the
+    tabular classifier through an Identity tabular_proj, and the EMAN
+    state-dict lerp over the SAINT parameter set; SAINT's hard-coded
+    0.8 dropouts run disabled on both sides (``_disable_dropout`` /
+    ``saint_ff_dropout=0``)."""
     _install_shims()
     _install_train_shims()
-    from models.SemiMultimodal.CoTraining import CoTraining as RefCoTrain
-    from models.SemiMultimodal.Multimodal_model import MultimodalBackbone
+    if saint:
+        from models.SemiMultimodal.CoTraining_SAINT import (
+            CoTraining as RefCoTrain)
+        from models.SemiMultimodal.Multimodal_model_SAINT import (
+            MultimodalBackbone)
+        from stil_tta_tpu.algorithms.cotrain import CoTrainSAINT as CoTrain
+    else:
+        from models.SemiMultimodal.CoTraining import (
+            CoTraining as RefCoTrain)
+        from models.SemiMultimodal.Multimodal_model import (
+            MultimodalBackbone)
+        from stil_tta_tpu.algorithms.cotrain import CoTrain
     from models.pieces import DotDict
-    from stil_tta_tpu.algorithms.cotrain import CoTrain
+    from tests.test_reference_train_golden import _disable_dropout
+    # SAINT hardcodes its token dim to 32; Identity tabular_proj needs
+    # multimodal dim == 32 on both sides (the transformer variant keeps
+    # the file-level DIM)
+    EMB = 32 if saint else DIM
 
     CATS, NCON = (5, 4, 2), 3
     FIELD_LENGTHS = list(CATS) + [1] * NCON
@@ -799,10 +821,11 @@ def test_cotrain_training_step_golden_trajectory(x64, tmp_path):
     torch.save(torch.tensor(FIELD_LENGTHS), str(fl_path))
     hp = DotDict({
         "model": "resnet18", "num_classes": NCLS, "embedding_dim": 512,
-        "projection_dim": DIM, "multimodal_embedding_dim": DIM,
-        "tabular_embedding_dim": DIM, "tabular_transformer_num_layers": 1,
+        "projection_dim": DIM, "multimodal_embedding_dim": EMB,
+        "tabular_embedding_dim": EMB, "tabular_transformer_num_layers": 1,
         "embedding_dropout": 0.0, "drop_rate": 0.0, "pretrain": False,
-        "checkpoint": None, "field_lengths_tabular": str(fl_path),
+        "checkpoint": None, "checkpoint_SAINT": None,
+        "field_lengths_tabular": str(fl_path),
         "alpha": CT_ALPHA, "rate_uce": RATE_UCE,
         "co_threshold": THRESHOLD, "start_epoch": 0,
         "use_ema": True, "eman": True, "ema_momentum": MOM,
@@ -820,6 +843,7 @@ def test_cotrain_training_step_golden_trajectory(x64, tmp_path):
         p.requires_grad = False
     _randomize_bn(tm.model)
     _randomize_bn(tm.ema)
+    _disable_dropout(tm)
 
     rng = np.random.RandomState(7)
     imgs_l = rng.rand(N_DATA, IMG, IMG, 3).astype(np.float64)
@@ -833,17 +857,18 @@ def test_cotrain_training_step_golden_trajectory(x64, tmp_path):
 
     # ---- our side: production algorithm + production Adam ------------
     cfg = _Cfg(
-        algorithm_name="CoTrain_Pseudo",
+        algorithm_name="CoTrain_Pseudo_SAINT" if saint
+        else "CoTrain_Pseudo",
         eval_datatype="imaging_and_tabular",
         model="resnet18", num_classes=NCLS, projection_dim=DIM,
-        tabular_embedding_dim=DIM, multimodal_embedding_dim=DIM,
+        tabular_embedding_dim=EMB, multimodal_embedding_dim=EMB,
         tabular_transformer_num_layers=1, alpha=CT_ALPHA,
         rate_uce=RATE_UCE, co_threshold=THRESHOLD, start_epoch=0,
         DA=False, use_ema=True, eman=True, ema_momentum=MOM,
         lr_eval=LR, weight_decay_eval=WD, img_size=IMG,
         eval_train_augment_rate=0.0, augmentation_rate=0.0,
         corruption_rate=0.0, crop_scale_lower=0.08, target="dvm",
-        embedding_dropout=0.0, drop_rate=0.0)
+        embedding_dropout=0.0, drop_rate=0.0, saint_ff_dropout=0.0)
     algo = CoTrain(cfg, FIELD_LENGTHS, dtype=jnp.float64)
     algo.contrastive_views = lambda key, images, tabular, marginal: (
         images.astype(jnp.float64), tabular)
@@ -921,3 +946,13 @@ def test_cotrain_training_step_golden_trajectory(x64, tmp_path):
                  "EMAN teacher params")
     _rel_l2_tree(state.ema_batch_stats, conv_post["batch_stats"], 3e-3,
                  "EMAN teacher BN stats (state-dict lerp)")
+
+
+def test_cotrain_training_step_golden_trajectory(x64, tmp_path):
+    _run_cotrain_golden_trajectory(False, tmp_path)
+
+
+def test_cotrain_saint_training_step_golden_trajectory(x64, tmp_path):
+    """CoTrain_Pseudo_SAINT against the reference's own
+    ``CoTraining_SAINT.py`` + ``Multimodal_model_SAINT`` backbone."""
+    _run_cotrain_golden_trajectory(True, tmp_path)
