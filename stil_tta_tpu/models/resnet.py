@@ -31,11 +31,41 @@ from stil_tta_tpu.losses.common import at_least_f32
 ModuleDef = Any
 
 
+def _act_store_mode():
+    """``STIL_RESNET_ACT_STORE``: '0' (default, bf16 saved residuals) |
+    'fp8' / 'e4m3' | 'e5m2'. Only meaningful under ``remat='branch'``
+    — see :func:`_conv_out`."""
+    import os
+    return os.environ.get("STIL_RESNET_ACT_STORE", "0")
+
+
 def _conv_out(x):
     """Remat annotation: raw conv outputs are the minimal save set for
     the backward pass (BN backward reads them anyway); post-BN/ReLU
     activations are recomputed from them on the fly under
-    ``remat='branch'``. No-op outside a remat context."""
+    ``remat='branch'``. No-op outside a remat context.
+
+    ``STIL_RESNET_ACT_STORE=fp8`` (experimental, perf-measurement lane
+    — VERDICT r3 #1 / round-4 headroom notes): the residual carrying
+    the ``conv_out`` name becomes a per-channel-scaled float8_e4m3fn
+    tensor (+ a tiny f32 scale under ``bn_stats``), halving the
+    saved-activation HBM bytes vs bf16. The forward continues with the
+    quantize-dequantize value, i.e. this IS a train-forward numerics
+    change (~2^-3 relative rounding per element, zero-mean) and must
+    pass the ±0.3% convergence gate (tools/convergence_micro.py)
+    before any headline adoption. No-op unless remat='branch' saves
+    the named residual, and never active at f32/f64 (parity suites)."""
+    mode = _act_store_mode()
+    if mode in ("fp8", "e4m3", "e5m2") and x.dtype == jnp.bfloat16:
+        f8 = jnp.float8_e5m2 if mode == "e5m2" else jnp.float8_e4m3fn
+        fmax = 57344.0 if mode == "e5m2" else 448.0
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        amax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
+        scale = jnp.maximum(amax, 1e-12) / fmax
+        q = checkpoint_name((xf / scale).astype(f8), "conv_out")
+        scale = checkpoint_name(scale, "bn_stats")
+        return q.astype(jnp.float32).astype(x.dtype) * scale.astype(x.dtype)
     return checkpoint_name(x, "conv_out")
 
 # torch nn.BatchNorm2d: running = (1-0.1)*running + 0.1*batch  -> momentum=0.9

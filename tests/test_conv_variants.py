@@ -54,3 +54,60 @@ def test_dot1x1_variants_match_conv(monkeypatch, mode):
                     jax.tree_util.tree_leaves(g1)):
         scale = float(jnp.max(jnp.abs(a))) + 1e-30
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
+
+
+class TestFp8ActStore:
+    """``STIL_RESNET_ACT_STORE=fp8`` (resnet._conv_out): per-channel-
+    scaled float8 storage of the branch-remat saved residuals — a
+    flag-gated perf-measurement lane (docs/BENCHMARKS.md round-4
+    headroom). Contract: bf16 quant-dequant error stays within the fp8
+    rounding bound, grads flow, and NON-bf16 dtypes (the f32/f64 parity
+    suites) are bit-identical with the flag set."""
+
+    def _net(self, dtype):
+        from stil_tta_tpu.models.resnet import resnet18
+        return resnet18(dtype=dtype)
+
+    def test_bf16_error_bounded_and_grads_flow(self, monkeypatch):
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 32, 32, 3),
+                        jnp.bfloat16)
+        net = self._net(jnp.bfloat16)
+        monkeypatch.delenv("STIL_RESNET_ACT_STORE", raising=False)
+        params = net.init(jax.random.key(0), x, train=True)
+        y_ref = net.apply(params, x, train=False)[0].astype(jnp.float32)
+        monkeypatch.setenv("STIL_RESNET_ACT_STORE", "fp8")
+        y_q = net.apply(params, x, train=False)[0].astype(jnp.float32)
+        # e4m3 rounding is ~2^-3 relative per element, zero-mean; after
+        # BN + pooling the pooled features stay within a few percent.
+        scale = float(jnp.max(jnp.abs(y_ref))) + 1e-30
+        assert float(jnp.max(jnp.abs(y_ref - y_q))) / scale < 0.08
+
+    def test_bf16_grad_finite(self, monkeypatch):
+        monkeypatch.setenv("STIL_RESNET_ACT_STORE", "fp8")
+        monkeypatch.setenv("STIL_RESNET_REMAT", "branch")
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 32, 32, 3),
+                        jnp.bfloat16)
+        net = self._net(jnp.bfloat16)
+        vs = net.init(jax.random.key(0), x, train=True)
+
+        def loss(p):
+            out, _ = net.apply(
+                {"params": p, "batch_stats": vs["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"])
+            return sum(t.astype(jnp.float32).sum()
+                       for t in jax.tree_util.tree_leaves(out))
+
+        g = jax.jit(jax.grad(loss))(vs["params"])
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert bool(jnp.all(jnp.isfinite(leaf.astype(jnp.float32))))
+
+    def test_f32_bit_identical_with_flag_set(self, monkeypatch):
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 32, 32, 3),
+                        jnp.float32)
+        net = self._net(jnp.float32)
+        monkeypatch.delenv("STIL_RESNET_ACT_STORE", raising=False)
+        params = net.init(jax.random.key(0), x, train=True)
+        y_ref = net.apply(params, x, train=False)[0]
+        monkeypatch.setenv("STIL_RESNET_ACT_STORE", "fp8")
+        y_q = net.apply(params, x, train=False)[0]
+        np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_q))
