@@ -31,31 +31,39 @@ from stil_tta_tpu.losses.common import at_least_f32
 ModuleDef = Any
 
 
-def _act_store_mode():
+def resolve_act_store(act_store: Any = None) -> str:
     """``STIL_RESNET_ACT_STORE``: '0' (default, bf16 saved residuals) |
-    'fp8' / 'e4m3' | 'e5m2'. Only meaningful under ``remat='branch'``
-    — see :func:`_conv_out`."""
+    'fp8' / 'e4m3' | 'e5m2'. Resolved ONCE at model construction by
+    :func:`image_encoder` (like ``remat`` / ``min_channels``) and
+    threaded as a module field — changing the env var after a model is
+    built (or a step is jitted) has no effect. Only meaningful under
+    ``remat='branch'`` and ``train=True`` — see :func:`_conv_out`."""
+    if act_store is not None:
+        return str(act_store)
     import os
-    return os.environ.get("STIL_RESNET_ACT_STORE", "0")
+    env = os.environ.get("STIL_RESNET_ACT_STORE", "0")
+    return env if env in ("fp8", "e4m3", "e5m2") else "0"
 
 
-def _conv_out(x):
+def _conv_out(x, mode: str = "0"):
     """Remat annotation: raw conv outputs are the minimal save set for
     the backward pass (BN backward reads them anyway); post-BN/ReLU
     activations are recomputed from them on the fly under
     ``remat='branch'``. No-op outside a remat context.
 
-    ``STIL_RESNET_ACT_STORE=fp8`` (experimental, perf-measurement lane
-    — VERDICT r3 #1 / round-4 headroom notes): the residual carrying
-    the ``conv_out`` name becomes a per-channel-scaled float8_e4m3fn
+    ``mode`` in ('fp8'/'e4m3', 'e5m2') (experimental, perf-measurement
+    lane — VERDICT r3 #1 / round-4 headroom notes): the residual
+    carrying the ``conv_out`` name becomes a per-channel-scaled float8
     tensor (+ a tiny f32 scale under ``bn_stats``), halving the
     saved-activation HBM bytes vs bf16. The forward continues with the
     quantize-dequantize value, i.e. this IS a train-forward numerics
-    change (~2^-3 relative rounding per element, zero-mean) and must
-    pass the ±0.3% convergence gate (tools/convergence_micro.py)
-    before any headline adoption. No-op unless remat='branch' saves
-    the named residual, and never active at f32/f64 (parity suites)."""
-    mode = _act_store_mode()
+    change (~2^-3 relative rounding per element for e4m3, zero-mean)
+    and must pass the ±0.3% convergence gate
+    (tools/convergence_micro.py) before any headline adoption.
+    :class:`ResNet` only passes a non-'0' mode to blocks that are
+    actually branch-remat'd, and blocks drop it when ``train=False`` —
+    eval forwards and non-remat configs are bit-identical with the
+    flag set. Never active at f32/f64 (parity suites)."""
     if mode in ("fp8", "e4m3", "e5m2") and x.dtype == jnp.bfloat16:
         f8 = jnp.float8_e5m2 if mode == "e5m2" else jnp.float8_e4m3fn
         fmax = 57344.0 if mode == "e5m2" else 448.0
@@ -65,7 +73,9 @@ def _conv_out(x):
         scale = jnp.maximum(amax, 1e-12) / fmax
         q = checkpoint_name((xf / scale).astype(f8), "conv_out")
         scale = checkpoint_name(scale, "bn_stats")
-        return q.astype(jnp.float32).astype(x.dtype) * scale.astype(x.dtype)
+        # dequantize in f32 (quantization divided by the f32 scale; a
+        # bf16 multiply would add an asymmetric extra rounding)
+        return (q.astype(jnp.float32) * scale).astype(x.dtype)
     return checkpoint_name(x, "conv_out")
 
 # torch nn.BatchNorm2d: running = (1-0.1)*running + 0.1*batch  -> momentum=0.9
@@ -323,6 +333,7 @@ class BasicBlock(nn.Module):
     bn_impl: str = "auto"
     min_channels: int = 0  # pad activations narrower than this (ResNet)
     in_real: int = 0       # real channel width of x (0 = unpadded)
+    act_store: str = "0"   # fp8 storage of branch-remat saved residuals
     expansion: int = 1
 
     @nn.compact
@@ -333,20 +344,23 @@ class BasicBlock(nn.Module):
         mc = self.min_channels
         wp = max(self.planes, mc) if mc else self.planes  # physical width
         rf = self.planes if wp != self.planes else 0
+        # fp8 residual storage only affects the train forward; eval
+        # forwards (parity suites) stay bit-identical (advisor r4)
+        am = self.act_store if train else "0"
         identity = x
         out = _conv_out(_conv("conv1", self.planes, (3, 3), self.stride, 1,
-                              1, self.dtype, self.in_real, wp, x))
+                              1, self.dtype, self.in_real, wp, x), am)
         out = make_bn(self.bn_impl, not train, self.dtype, "bn1",
                       real_feat=rf)(out)
         out = nn.relu(out)
         out = _conv_out(_conv("conv2", self.planes, (3, 3), 1, 1, 1,
-                              self.dtype, rf, wp, out))
+                              self.dtype, rf, wp, out), am)
         out = make_bn(self.bn_impl, not train, self.dtype, "bn2",
                       real_feat=rf)(out)
         if self.downsample:
             identity = _conv_out(_conv("downsample_conv", self.planes,
                                        (1, 1), self.stride, 0, 1,
-                                       self.dtype, self.in_real, wp, x))
+                                       self.dtype, self.in_real, wp, x), am)
             identity = make_bn(self.bn_impl, not train, self.dtype,
                                "downsample_bn", real_feat=rf)(identity)
         elif identity.shape[-1] != out.shape[-1]:
@@ -372,6 +386,7 @@ class Bottleneck(nn.Module):
     bn_impl: str = "auto"
     min_channels: int = 0  # pad activations narrower than this (ResNet)
     in_real: int = 0       # real channel width of x (0 = unpadded)
+    act_store: str = "0"   # fp8 storage of branch-remat saved residuals
     expansion: int = 4
 
     @nn.compact
@@ -380,25 +395,26 @@ class Bottleneck(nn.Module):
         mc = self.min_channels
         wp = max(width, mc) if mc else width  # physical mid width
         rf = width if wp != width else 0
+        am = self.act_store if train else "0"
         identity = x
         out = _conv_out(_conv("conv1", width, (1, 1), 1, 0, 1, self.dtype,
-                              self.in_real, wp, x))
+                              self.in_real, wp, x), am)
         out = make_bn(self.bn_impl, not train, self.dtype, "bn1",
                       real_feat=rf)(out)
         out = nn.relu(out)
         out = _conv_out(_conv("conv2", width, (3, 3), self.stride, 1,
-                              self.groups, self.dtype, rf, wp, out))
+                              self.groups, self.dtype, rf, wp, out), am)
         out = make_bn(self.bn_impl, not train, self.dtype, "bn2",
                       real_feat=rf)(out)
         out = nn.relu(out)
         out = _conv_out(_conv("conv3", self.planes * self.expansion,
-                              (1, 1), 1, 0, 1, self.dtype, rf, 0, out))
+                              (1, 1), 1, 0, 1, self.dtype, rf, 0, out), am)
         out = make_bn(self.bn_impl, not train, self.dtype, "bn3")(out)
         if self.downsample:
             identity = _conv_out(_conv("downsample_conv",
                                        self.planes * self.expansion,
                                        (1, 1), self.stride, 0, 1,
-                                       self.dtype, self.in_real, 0, x))
+                                       self.dtype, self.in_real, 0, x), am)
             identity = make_bn(self.bn_impl, not train, self.dtype,
                           "downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -493,6 +509,12 @@ class ResNet(nn.Module):
     # (PadConv/real_feat) so parameters, checkpoints and math are
     # bit-identical; padded channels are exactly zero everywhere.
     min_channels: int = 0
+    # Storage dtype of the branch-remat saved conv residuals: '0' (bf16)
+    # | 'fp8'/'e4m3' | 'e5m2'. Threaded only to blocks that are actually
+    # branch-remat'd, and only in train mode — eval forwards, non-remat
+    # configs, and f32/f64 runs are bit-identical regardless of the
+    # setting. See _conv_out / resolve_act_store.
+    act_store: str = "0"
     dtype: Any = jnp.bfloat16
 
     # pad the stem too when min_channels is set (the stem's 64x64x64
@@ -547,6 +569,10 @@ class ResNet(nn.Module):
             cls = block_cls if (self.remat_stages is None
                                 or stage in self.remat_stages) \
                 else self.block
+            # fp8 residual storage is only meaningful where the branch
+            # policy actually elides the recomputed activations
+            astore = self.act_store if (
+                self.remat == "branch" and cls is block_cls) else "0"
             for b in range(blocks):
                 s = stride if b == 0 else 1
                 needs_ds = b == 0 and (
@@ -555,7 +581,7 @@ class ResNet(nn.Module):
                 x = cls(planes=planes, stride=s, downsample=needs_ds,
                         groups=self.groups, base_width=self.width_per_group,
                         dtype=self.dtype, bn_impl=self.bn_impl,
-                        min_channels=mc, in_real=ir,
+                        min_channels=mc, in_real=ir, act_store=astore,
                         name=f"layer{stage + 1}_{b}")(x, train)
                 real_ch = planes * self.block.expansion
             in_planes = planes * self.block.expansion
@@ -665,7 +691,7 @@ def resolve_min_channels(min_channels: Any = None) -> int:
 
 def image_encoder(name: str, return_all_feature_maps: bool = False,
                   dtype: Any = jnp.bfloat16, remat: Any = None,
-                  min_channels: Any = None):
+                  min_channels: Any = None, act_store: Any = None):
     """``torchvision_ssl_encoder`` equivalent
     (``models/self_supervised.py:8-15``): encoder with no fc head.
     Unlike the reference, vit_small/vit_base resolve to a real encoder
@@ -676,6 +702,10 @@ def image_encoder(name: str, return_all_feature_maps: bool = False,
     ('branch' | 'full' | '0', default off) — see :class:`ResNet`.
     ``min_channels`` (ResNets only): None resolves from
     ``STIL_RESNET_PAD`` — see :func:`resolve_min_channels`.
+    ``act_store`` (ResNets only): None resolves from
+    ``STIL_RESNET_ACT_STORE`` at construction time — see
+    :func:`resolve_act_store`; only active under ``remat='branch'``
+    in train mode.
     """
     if name.startswith("vit"):
         from stil_tta_tpu.models import vit
@@ -702,4 +732,5 @@ def image_encoder(name: str, return_all_feature_maps: bool = False,
     return _ENCODERS[name](return_all_feature_maps=return_all_feature_maps,
                            dtype=dtype, remat=remat, remat_stages=stages,
                            min_channels=resolve_min_channels(min_channels),
+                           act_store=resolve_act_store(act_store),
                            pad_stem=pad_stem)
