@@ -296,6 +296,14 @@ def _dot1x1_mode():
     return os.environ.get("STIL_RESNET_DOT1X1", "0")
 
 
+def _maxpool_mode():
+    """``STIL_RESNET_MAXPOOL=custom``: routing-exact custom-VJP maxpool
+    (ops/maxpool.py) instead of XLA reduce_window/select-and-scatter.
+    Off by default — measured negative at the bench shape (round 5)."""
+    import os
+    return os.environ.get("STIL_RESNET_MAXPOOL", "0")
+
+
 def _conv(name, features, ksize, stride, padding, groups, dtype,
           in_real, pad_out, x):
     """Dispatch to :class:`PadConv` only when channel padding is in play
@@ -547,7 +555,19 @@ class ResNet(nn.Module):
                     real_feat=stem_rf)(x)
         x0 = nn.relu(x)
         if self.maxpool1:
-            x0 = nn.max_pool(x0, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            if _maxpool_mode() == "custom" and x0.shape[1] % 2 == 0 \
+                    and x0.shape[2] % 2 == 0:
+                # routing-exact custom backward (ops/maxpool.py).
+                # MEASURED NEGATIVE at the bench shape (round 5:
+                # 5,832 vs 6,460 samples/s — the backward's interleave
+                # reshapes relayout worse than select-and-scatter's
+                # walk); kept off-default for shapes where XLA's
+                # select-and-scatter is the bottleneck.
+                from stil_tta_tpu.ops.maxpool import max_pool_3x3_s2
+                x0 = max_pool_3x3_s2(x0)
+            else:
+                x0 = nn.max_pool(x0, (3, 3), strides=(2, 2),
+                                 padding=((1, 1), (1, 1)))
 
         feats = [x0]
         feats_real = [64]
