@@ -95,6 +95,10 @@ def main():
     mu_env = os.environ.get("STIL_BENCH_MU_DTYPE")
     if mu_env:
         cfg.adam_mu_dtype = mu_env
+    # STIL_BENCH_TEACHER_INT8=1 runs the EMA teacher's image tower with
+    # int8 convs (~2x MXU rate; algorithms/stil.py teacher_int8)
+    if os.environ.get("STIL_BENCH_TEACHER_INT8"):
+        cfg.teacher_int8 = os.environ["STIL_BENCH_TEACHER_INT8"] != "0"
     # STIL_BENCH_UNROLL unrolls the chunk scan (pure scheduling; math
     # and accumulation order identical to the rolled micro-batch scan)
     cfg.micro_unroll = int(os.environ.get("STIL_BENCH_UNROLL",

@@ -79,6 +79,13 @@ class STiLNet(nn.Module):
     drop_rate: float = 0.0
     tabular_encoder: str = "transformer"
     saint_ff_dropout: float = 0.8  # reference hard-codes 0.8
+    # int8-quantized image-tower convs in the TEACHER forward only
+    # (``teacher_int8`` config key): the EMA teacher is pure inference,
+    # so its convs can ride the v5e MXU's ~2x int8 rate. Documented
+    # fast-profile numerics change inside the ±0.3% accuracy gate
+    # (tools/convergence_micro.py); eval/val/test forwards are
+    # untouched.
+    teacher_int8: bool = False
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -111,9 +118,14 @@ class STiLNet(nn.Module):
         self.club_tabular = CLUBMean(hid)
 
     def __call__(self, image, tabular, train: bool = False,
-                 missing_mask=None) -> Dict[str, jax.Array]:
+                 missing_mask=None,
+                 int8_image: bool = False) -> Dict[str, jax.Array]:
+        """``int8_image``: quantized image-tower convs (serving fast
+        path — stil_tta_tpu/serve.py ``int8``); never used by the
+        training/eval drivers."""
         out = self.backbone(image, tabular, train=train,
-                            missing_mask=missing_mask)
+                            missing_mask=missing_mask,
+                            int8_image=int8_image and not train)
         feat_m_raw = jnp.concatenate(
             [out["x_si_enhance"], out["x_c"], out["x_st_enhance"]], axis=1)
         out["feat_m"] = _l2norm(self.projector_multimodal(feat_m_raw))
@@ -129,7 +141,8 @@ class STiLNet(nn.Module):
         (student weights — the reference EMA copies only the backbone,
         ``STiLModel.py:88, 252-254``)."""
         out = self.backbone(image, tabular, train=False,
-                            missing_mask=missing_mask)
+                            missing_mask=missing_mask,
+                            int8_image=self.teacher_int8)
         feat_m_raw = jnp.concatenate(
             [out["x_si_enhance"], out["x_c"], out["x_st_enhance"]], axis=1)
         return {
@@ -194,6 +207,7 @@ class STiL:
             tabular_encoder=self.tabular_encoder,
             saint_ff_dropout=(0.8 if cfg.saint_ff_dropout is None
                               else float(cfg.saint_ff_dropout)),
+            teacher_int8=bool(getattr(cfg, "teacher_int8", False)),
             dtype=dtype)
         from stil_tta_tpu.train.optim import encoder_freeze_fn
         freeze = encoder_freeze_fn if (

@@ -99,9 +99,17 @@ class DisCoBackbone(nn.Module):
         self.classifier_imaging = Linear(self.num_classes, dtype=head_t)
         self.classifier_tabular = Linear(self.num_classes, dtype=head_t)
 
-    def encode(self, image, tabular, train: bool, missing_mask=None):
-        """Disentangled features (``STiLModel_backbone.py:118-132``)."""
-        x_i = self.encoder_imaging(image, train=train)[-1]  # (B,H,W,C)
+    def encode(self, image, tabular, train: bool, missing_mask=None,
+               int8_image: bool = False):
+        """Disentangled features (``STiLModel_backbone.py:118-132``).
+
+        ``int8_image``: quantized eval convs in the image tower
+        (ResNets only — models/resnet.py ``int8``); the tabular
+        encoder, projections and fusion stay exact."""
+        if int8_image and not self.model.startswith("vit"):
+            x_i = self.encoder_imaging(image, train=train, int8=True)[-1]
+        else:
+            x_i = self.encoder_imaging(image, train=train)[-1]  # (B,H,W,C)
         b, h, w, c = x_i.shape
         x_i = x_i.reshape(b, h * w, c)  # token order == torch (B,HW,C)
         if self.tabular_encoder == "saint":
@@ -124,11 +132,11 @@ class DisCoBackbone(nn.Module):
                 jnp.mean(x_c, axis=1))
 
     def __call__(self, image, tabular, train: bool = False,
-                 missing_mask=None):
+                 missing_mask=None, int8_image: bool = False):
         """Full forward; returns a dict superset of the reference's
         ``forward_all`` tuple (``STiLModel_backbone.py:150-156``)."""
         x_si, x_ai, x_st, x_at = self.encode(image, tabular, train,
-                                             missing_mask)
+                                             missing_mask, int8_image)
         x_si_pool = jnp.mean(x_si, axis=1)
         x_st_pool = jnp.mean(x_st, axis=1)
         x_si_enh, x_st_enh, x_c = self.fuse(x_si, x_ai, x_st, x_at, train)

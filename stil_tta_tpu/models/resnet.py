@@ -291,6 +291,58 @@ class ConvDotBwd1x1(nn.Module):
                               kernel.astype(self.dtype), self.strides)
 
 
+def quant_conv_apply(x, kernel, strides, padding, out_dtype,
+                     groups: int = 1):
+    """Dynamically-quantized int8 convolution: per-output-channel
+    symmetric weight scales, per-tensor symmetric activation scale,
+    s8 x s8 -> s32 MXU conv, dequantized epilogue.
+
+    The v5e MXU runs int8 contractions at ~2x the bf16 rate (measured
+    1.8-1.9x on bench-shaped convs, docs/BENCHMARKS.md round-5). Used
+    by the ``int8`` eval forward (teacher/inference path only — never
+    under training BN or autodiff; the quantization is a documented
+    numerics change gated by the convergence study)."""
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    wf = kernel.astype(jnp.float32)
+    s_w = jnp.max(jnp.abs(wf), axis=(0, 1, 2), keepdims=True) / 127.0
+    s_w = jnp.maximum(s_w, 1e-30)
+    w_q = jnp.clip(jnp.round(wf / s_w), -127, 127).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-30)
+    x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    s = strides if isinstance(strides, tuple) else (strides, strides)
+    p = padding if isinstance(padding, tuple) else ((padding, padding),) * 2
+    y = jax.lax.conv_general_dilated(
+        x_q, w_q, window_strides=s, padding=p,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    scale = (s_x * s_w.reshape(1, 1, 1, -1)).astype(jnp.float32)
+    return (y.astype(jnp.float32) * scale).astype(out_dtype)
+
+
+class QuantConv(nn.Module):
+    """int8-eval conv: same ``kernel`` parameter (shape, init, tree
+    path) as :data:`Conv`, computed via :func:`quant_conv_apply`."""
+
+    features: int
+    kernel_size: Any
+    strides: int = 1
+    padding: int = 0
+    groups: int = 1
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", torch_kaiming_conv_init,
+                            (kh, kw, x.shape[-1] // self.groups,
+                             self.features), self.param_dtype)
+        return quant_conv_apply(x, kernel, self.strides, self.padding,
+                                self.dtype, self.groups)
+
+
 def _dot1x1_mode():
     import os
     return os.environ.get("STIL_RESNET_DOT1X1", "0")
@@ -305,13 +357,21 @@ def _maxpool_mode():
 
 
 def _conv(name, features, ksize, stride, padding, groups, dtype,
-          in_real, pad_out, x):
+          in_real, pad_out, x, int8: bool = False):
     """Dispatch to :class:`PadConv` only when channel padding is in play
     for this conv (padded input activation and/or padded output width);
     otherwise the plain :data:`Conv` path keeps the min_channels=0 HLO
-    byte-identical to previous rounds (warm compile caches)."""
+    byte-identical to previous rounds (warm compile caches).
+
+    ``int8``: quantized eval conv (:class:`QuantConv`; teacher/inference
+    fast path). Falls back to the exact conv when channel padding is in
+    play (quantization scales would interact with the zero-pad masks)."""
     needs_pad = ((in_real and in_real != x.shape[-1])
                  or (pad_out and pad_out > features))
+    if int8 and not needs_pad:
+        return QuantConv(features=features, kernel_size=ksize,
+                         strides=stride, padding=padding, groups=groups,
+                         dtype=dtype, name=name)(x)
     if needs_pad:
         assert groups == 1, "channel padding unsupported for grouped convs"
         return PadConv(features=features, kernel_size=ksize, strides=stride,
@@ -345,7 +405,7 @@ class BasicBlock(nn.Module):
     expansion: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, int8: bool = False):
         if self.groups != 1 or self.base_width != 64:
             raise ValueError(
                 "BasicBlock only supports groups=1 and base_width=64")
@@ -355,20 +415,22 @@ class BasicBlock(nn.Module):
         # fp8 residual storage only affects the train forward; eval
         # forwards (parity suites) stay bit-identical (advisor r4)
         am = self.act_store if train else "0"
+        q = int8 and not train
         identity = x
         out = _conv_out(_conv("conv1", self.planes, (3, 3), self.stride, 1,
-                              1, self.dtype, self.in_real, wp, x), am)
+                              1, self.dtype, self.in_real, wp, x, q), am)
         out = make_bn(self.bn_impl, not train, self.dtype, "bn1",
                       real_feat=rf)(out)
         out = nn.relu(out)
         out = _conv_out(_conv("conv2", self.planes, (3, 3), 1, 1, 1,
-                              self.dtype, rf, wp, out), am)
+                              self.dtype, rf, wp, out, q), am)
         out = make_bn(self.bn_impl, not train, self.dtype, "bn2",
                       real_feat=rf)(out)
         if self.downsample:
             identity = _conv_out(_conv("downsample_conv", self.planes,
                                        (1, 1), self.stride, 0, 1,
-                                       self.dtype, self.in_real, wp, x), am)
+                                       self.dtype, self.in_real, wp, x,
+                                       q), am)
             identity = make_bn(self.bn_impl, not train, self.dtype,
                                "downsample_bn", real_feat=rf)(identity)
         elif identity.shape[-1] != out.shape[-1]:
@@ -398,37 +460,40 @@ class Bottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, int8: bool = False):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         mc = self.min_channels
         wp = max(width, mc) if mc else width  # physical mid width
         rf = width if wp != width else 0
         am = self.act_store if train else "0"
+        q = int8 and not train
         identity = x
         out = _conv_out(_conv("conv1", width, (1, 1), 1, 0, 1, self.dtype,
-                              self.in_real, wp, x), am)
+                              self.in_real, wp, x, q), am)
         out = make_bn(self.bn_impl, not train, self.dtype, "bn1",
                       real_feat=rf)(out)
         out = nn.relu(out)
         out = _conv_out(_conv("conv2", width, (3, 3), self.stride, 1,
-                              self.groups, self.dtype, rf, wp, out), am)
+                              self.groups, self.dtype, rf, wp, out, q), am)
         out = make_bn(self.bn_impl, not train, self.dtype, "bn2",
                       real_feat=rf)(out)
         out = nn.relu(out)
         out = _conv_out(_conv("conv3", self.planes * self.expansion,
-                              (1, 1), 1, 0, 1, self.dtype, rf, 0, out), am)
+                              (1, 1), 1, 0, 1, self.dtype, rf, 0, out, q),
+                        am)
         out = make_bn(self.bn_impl, not train, self.dtype, "bn3")(out)
         if self.downsample:
             identity = _conv_out(_conv("downsample_conv",
                                        self.planes * self.expansion,
                                        (1, 1), self.stride, 0, 1,
-                                       self.dtype, self.in_real, 0, x), am)
+                                       self.dtype, self.in_real, 0, x,
+                                       q), am)
             identity = make_bn(self.bn_impl, not train, self.dtype,
                           "downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
-def _space_to_depth_conv1(x, kernel, dtype):
+def _space_to_depth_conv1(x, kernel, dtype, int8: bool = False):
     """conv 7x7/s2/p3 on 3 channels, computed as a 4x4/s1 conv on the
     2x2 space-to-depth input.
 
@@ -458,6 +523,8 @@ def _space_to_depth_conv1(x, kernel, dtype):
     # 12-channel lane concatenate ("result/input offset mismatch on
     # non-concat dimension"); per-tap dots run the MXU at M=12 and
     # model out slower than XLA. Left to the conv emitter.
+    if int8:
+        return quant_conv_apply(xs, kp, (1, 1), ((2, 1), (2, 1)), dtype)
     return jax.lax.conv_general_dilated(
         xs.astype(dtype), kp.astype(dtype), window_strides=(1, 1),
         padding=((2, 1), (2, 1)),
@@ -531,9 +598,13 @@ class ResNet(nn.Module):
     pad_stem: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, int8: bool = False):
+        """``int8``: dynamically-quantized eval convs
+        (:func:`quant_conv_apply`) — the teacher/inference fast path.
+        Ignored in train mode; BN, pooling and the head stay exact."""
         x = x.astype(self.dtype)
         mc = self.min_channels
+        q = int8 and not train
         stem_p = max(64, mc) if (mc and self.pad_stem) else 64
         stem_rf = 64 if stem_p != 64 else 0
         if self.first_conv:
@@ -544,13 +615,13 @@ class ResNet(nn.Module):
                 if stem_rf:
                     kernel = jnp.pad(
                         kernel, ((0, 0), (0, 0), (0, 0), (0, stem_p - 64)))
-                x = _space_to_depth_conv1(x, kernel, self.dtype)
+                x = _space_to_depth_conv1(x, kernel, self.dtype, int8=q)
             else:
                 x = _conv("conv1", 64, (7, 7), 2, 3, 1, self.dtype,
-                          0, stem_p, x)
+                          0, stem_p, x, q)
         else:
             x = _conv("conv1", 64, (3, 3), 1, 1, 1, self.dtype,
-                      0, stem_p, x)
+                      0, stem_p, x, q)
         x = make_bn(self.bn_impl, not train, self.dtype, "bn1",
                     real_feat=stem_rf)(x)
         x0 = nn.relu(x)
@@ -576,11 +647,11 @@ class ResNet(nn.Module):
         in_planes = 64
         if self.remat == "branch":
             block_cls = nn.remat(
-                self.block, static_argnums=(2,),
+                self.block, static_argnums=(2, 3),
                 policy=jax.checkpoint_policies.save_only_these_names(
                     "conv_out", "bn_stats"))
         elif self.remat:
-            block_cls = nn.remat(self.block, static_argnums=(2,))
+            block_cls = nn.remat(self.block, static_argnums=(2, 3))
         else:
             block_cls = self.block
         for stage, (planes, blocks) in enumerate(
@@ -602,7 +673,7 @@ class ResNet(nn.Module):
                         groups=self.groups, base_width=self.width_per_group,
                         dtype=self.dtype, bn_impl=self.bn_impl,
                         min_channels=mc, in_real=ir, act_store=astore,
-                        name=f"layer{stage + 1}_{b}")(x, train)
+                        name=f"layer{stage + 1}_{b}")(x, train, q)
                 real_ch = planes * self.block.expansion
             in_planes = planes * self.block.expansion
             feats.append(x)

@@ -38,7 +38,13 @@ class Predictor:
     of the mesh size so each device gets an equal static shard.
     """
 
-    def __init__(self, algo, state, batch_size: int = 256, mesh=None):
+    def __init__(self, algo, state, batch_size: int = 256, mesh=None,
+                 int8: bool = False):
+        """``int8``: dynamically-quantized image-tower convs (~2x MXU
+        rate on v5e — models/resnet.py ``quant_conv_apply``) for nets
+        whose ``__call__`` exposes ``int8_image`` (STiL). A documented
+        inference numerics change (int8 rounding per conv); predictions
+        track the bf16 forward (tests/test_int8_teacher.py bounds)."""
         self.algo = algo
         self.mesh = mesh
         if mesh is not None:
@@ -55,11 +61,20 @@ class Predictor:
             self._batch_shard = None
         self.batch_size = batch_size
         net, aug = algo.net, algo.aug_eval
+        kw = {}
+        if int8:
+            import inspect
+            if "int8_image" in inspect.signature(
+                    type(net).__call__).parameters:
+                kw["int8_image"] = True
+            else:
+                raise ValueError(
+                    f"int8 serving unsupported for {type(net).__name__}")
 
         def fwd(params, batch_stats, images, tabular):
             imgs = aug(jax.random.key(0), images)
             out = net.apply({"params": params, "batch_stats": batch_stats},
-                            imgs, tabular, train=False)
+                            imgs, tabular, train=False, **kw)
             if isinstance(out, dict):
                 logits = out["out_m"]
             elif isinstance(out, tuple):
@@ -79,7 +94,7 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, cfg, checkpoint: str,
                         field_lengths=None, batch_size: int = 256,
-                        data_parallel: bool = False):
+                        data_parallel: bool = False, int8: bool = False):
         field_lengths = list(field_lengths or cfg.field_lengths)
         algo = get_algorithm(cfg.algorithm_name)(cfg, field_lengths)
         img = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
@@ -91,7 +106,7 @@ class Predictor:
         if data_parallel:
             from stil_tta_tpu.parallel.mesh import create_mesh
             mesh = create_mesh()
-        return cls(algo, state, batch_size, mesh=mesh)
+        return cls(algo, state, batch_size, mesh=mesh, int8=int8)
 
     def __call__(self, images: np.ndarray,
                  tabular: np.ndarray) -> np.ndarray:
@@ -125,6 +140,9 @@ def main():
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard each batch over all local devices "
                          "(SPMD data-parallel serving)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 image-tower convs (~2x MXU; documented "
+                         "inference numerics change)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -135,7 +153,8 @@ def main():
     predictor = Predictor.from_checkpoint(cfg, args.checkpoint,
                                           src.field_lengths,
                                           args.batch_size,
-                                          data_parallel=args.data_parallel)
+                                          data_parallel=args.data_parallel,
+                                          int8=args.int8)
     probs = predictor(np.asarray(src.images), src.tabular)
     pred = probs.argmax(1)
     acc = float((pred == src.labels).mean())

@@ -79,16 +79,19 @@ def test_bench_config_knob(monkeypatch, capsys, config, metric_prefix):
     assert rec["value"] > 0
 
 
-@pytest.mark.parametrize("dp", ["", "1"])
-def test_bench_infer_smoke(monkeypatch, capsys, dp):
+@pytest.mark.parametrize("dp,int8", [("", ""), ("1", ""), ("", "1")])
+def test_bench_infer_smoke(monkeypatch, capsys, dp, int8):
     """tools/bench_infer.py (serving throughput) end to end on CPU at
-    tiny shapes, single-device and 8-device data-parallel."""
+    tiny shapes: single-device, 8-device data-parallel, and the int8
+    image-tower serving path."""
     for k, v in {"STIL_INFER_MODEL": "resnet18", "STIL_INFER_BATCH": "8",
                  "STIL_INFER_IMG": "32", "STIL_INFER_CLASSES": "4",
-                 "STIL_INFER_CALLS": "2", "STIL_INFER_DP": dp}.items():
+                 "STIL_INFER_CALLS": "2", "STIL_INFER_DP": dp,
+                 "STIL_INFER_INT8": int8}.items():
         monkeypatch.setenv(k, v)
     spec = importlib.util.spec_from_file_location(
-        f"bench_infer_{dp or 'single'}", ROOT / "tools" / "bench_infer.py")
+        f"bench_infer_{dp or 'single'}_{int8}",
+        ROOT / "tools" / "bench_infer.py")
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.main()
@@ -96,7 +99,8 @@ def test_bench_infer_smoke(monkeypatch, capsys, dp):
            if ln.startswith("{")]
     assert out, "bench_infer printed no JSON line"
     rec = json.loads(out[-1])
-    assert rec["metric"] == "stil_dvm_infer_samples_per_sec_per_chip"
+    assert rec["metric"] == ("stil_dvm_infer_samples_per_sec_per_chip"
+                             + ("_int8" if int8 else ""))
     assert rec["value"] > 0
     assert rec["ms_per_batch"] > 0
     assert rec["batch_size"] == 8

@@ -6,6 +6,10 @@ only, (b) student fwd, (c) student fwd+bwd+opt, (d) teacher fwd,
 (e) the full fused step. Guides kernel-level optimisation.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 

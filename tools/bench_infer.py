@@ -24,6 +24,10 @@ Env knobs (tiny-shape CPU smoke: tests/test_bench_smoke.py):
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import time
@@ -70,7 +74,10 @@ def main():
     if os.environ.get("STIL_INFER_DP"):
         from stil_tta_tpu.parallel.mesh import create_mesh
         mesh = create_mesh()
-    predictor = Predictor(algo, state, batch_size=batch_size, mesh=mesh)
+    # STIL_INFER_INT8=1: quantized image-tower convs (serve.Predictor)
+    int8 = os.environ.get("STIL_INFER_INT8", "0") not in ("", "0")
+    predictor = Predictor(algo, state, batch_size=batch_size, mesh=mesh,
+                          int8=int8)
 
     # warmup: compile + first-touch transfers
     warm = predictor(images[:batch_size], tabular[:batch_size])
@@ -90,7 +97,8 @@ def main():
     samples_per_sec = n_samples / best
 
     print(json.dumps({
-        "metric": "stil_dvm_infer_samples_per_sec_per_chip",
+        "metric": "stil_dvm_infer_samples_per_sec_per_chip"
+                  + ("_int8" if int8 else ""),
         "value": round(samples_per_sec, 2),
         "unit": "samples/sec",
         "ms_per_batch": round(best / n_calls * 1e3, 3),

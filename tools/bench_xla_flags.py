@@ -10,6 +10,10 @@ Usage: python tools/bench_xla_flags.py [--quick]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import os
 import subprocess

@@ -32,11 +32,17 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_one(micro: int, seed: int, epochs: int) -> dict:
+def run_one(micro: int, seed: int, epochs: int,
+            fast_overrides=()) -> dict:
+    """One driver run. ``fast_overrides`` (e.g.
+    ``["teacher_int8=true", "adam_mu_dtype=bfloat16"]``) are applied to
+    the FAST arm only (micro > 1), so the gate compares the full fast
+    profile against exact reference semantics."""
     from stil_tta_tpu.config import load_config
     from stil_tta_tpu.train.evaluate import evaluate
 
-    cfg = load_config("config_dvm_STiL", overrides=[
+    extra = list(fast_overrides) if micro > 1 else []
+    cfg = load_config("config_dvm_STiL", overrides=extra + [
         "dataset=synthetic_dvm", "models=resnet50",
         # reference DVM training shape: batch 512 = 64 l + 448 u,
         # 128x128; synthetic data scaled to 8 steps/epoch
@@ -51,9 +57,10 @@ def run_one(micro: int, seed: int, epochs: int) -> dict:
         f"logdir=/tmp/conv_micro_{micro}_{seed}",
     ])
     res = evaluate(cfg)
-    return {"micro": micro, "seed": seed, **{
-        k: float(v) for k, v in res.items()
-        if isinstance(v, (int, float))}}
+    return {"micro": micro, "seed": seed,
+            "fast_overrides": extra, **{
+                k: float(v) for k, v in res.items()
+                if isinstance(v, (int, float))}}
 
 
 def main():
@@ -62,6 +69,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seeds", type=int, nargs="+",
                     default=[2022, 2023, 2024])
+    ap.add_argument("--fast-overrides", nargs="*", default=[],
+                    help="extra config overrides applied to the fast "
+                         "arm only, e.g. teacher_int8=true "
+                         "adam_mu_dtype=bfloat16")
     ap.add_argument("--out", default="/tmp/convergence_micro.json")
     args = ap.parse_args()
 
@@ -70,7 +81,7 @@ def main():
     runs = []
     for seed in args.seeds:
         for m in (1, args.micro):
-            r = run_one(m, seed, args.epochs)
+            r = run_one(m, seed, args.epochs, args.fast_overrides)
             print(json.dumps(r), flush=True)
             runs.append(r)
 
@@ -85,6 +96,7 @@ def main():
         "exact_mean": m1, "exact_std": s1, "exact_vals": v1,
         "micro_mean": mm, "micro_std": sm, "micro_vals": vm,
         "micro": args.micro, "epochs": args.epochs,
+        "fast_overrides": args.fast_overrides,
         "delta": mm - m1, "pooled_std": pooled,
         "pass": bool((mm - m1) >= -max(pooled, 0.003)),
     }
