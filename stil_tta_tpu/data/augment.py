@@ -75,9 +75,19 @@ def _hsv_to_rgb(h: Array, s: Array, v: Array) -> Array:
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    # nested selects, NOT jnp.choose: choose lowers to a per-element
+    # XLA gather, which under the per-sample vmap hits the TPU's
+    # scalar slow path (three image-sized gathers measured 380 ms/step
+    # of the 467 ms SimMatch step — round 5, docs/BENCHMARKS.md).
+    # Same values: i is already in [0, 5].
+
+    def pick(c0, c1, c2, c3, c4, c5):
+        return jnp.where(i == 0, c0, jnp.where(i == 1, c1, jnp.where(
+            i == 2, c2, jnp.where(i == 3, c3, jnp.where(i == 4, c4, c5)))))
+
+    r = pick(v, q, p, p, t, v)
+    g = pick(t, v, v, q, p, p)
+    b = pick(p, p, t, v, v, q)
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -137,10 +147,18 @@ def gaussian_blur(img: Array, key: Array, ksize: int, sigma_lo: float,
     w = jnp.where(jax.random.uniform(k2) < p, w, delta)
 
     def sep_pass(x, axis):
-        pad = [(0, 0)] * x.ndim
-        pad[axis] = (half, half)
-        xp = jnp.pad(x, pad, mode="reflect")
         n = x.shape[axis]
+        # explicit reflect pad (slice + reverse + concat). jnp.pad
+        # mode='reflect' lowers to an XLA gather, and under the
+        # per-sample vmap that gather hits the TPU's scalar slow path:
+        # the SimMatch/CoMatch strong-aug blur measured 380-760 ms/step
+        # of a ~90 ms step before this rewrite (round 5,
+        # docs/BENCHMARKS.md). Same values bit-for-bit.
+        lo = jax.lax.rev(jax.lax.slice_in_dim(x, 1, half + 1, axis=axis),
+                         (axis,))
+        hi = jax.lax.rev(jax.lax.slice_in_dim(x, n - half - 1, n - 1,
+                                              axis=axis), (axis,))
+        xp = jnp.concatenate([lo, x, hi], axis=axis)
         acc = jnp.zeros_like(x)
         for i in range(ksize):
             acc = acc + w[i] * jax.lax.slice_in_dim(xp, i, i + n, axis=axis)
@@ -197,9 +215,11 @@ def _compose_blur(r: Array, w: Array) -> Array:
     rp = jnp.pad(r, ((0, 0), (half, half)))
     c = jnp.zeros_like(r)
     for i in range(k):
-        # C[:, m] += w[i] * R[:, m - i + half]  (window slides over pad)
-        c = c + w[i] * jax.lax.dynamic_slice_in_dim(
-            rp, k - 1 - i, h, axis=1)
+        # C[:, m] += w[i] * R[:, m - i + half]  (window slides over
+        # pad). Static slice, not dynamic_slice: vmap turns
+        # dynamic_slice into a gather even for constant starts.
+        c = c + w[i] * jax.lax.slice_in_dim(
+            rp, k - 1 - i, k - 1 - i + h, axis=1)
     return c / jnp.clip(jnp.sum(c, axis=1, keepdims=True), 1e-8)
 
 

@@ -38,7 +38,8 @@ def main():
     img_size = int(os.environ.get("STIL_BENCH_IMG", "128"))
     num_classes = int(os.environ.get("STIL_BENCH_CLASSES", "286"))
     field_lengths = [20, 10, 5, 3] + [1] * 13
-    cfg = load_config("config_dvm_STiL", overrides=[
+    config_name = os.environ.get("STIL_BENCH_CONFIG", "config_dvm_STiL")
+    cfg = load_config(config_name, overrides=[
         "dataset=synthetic_dvm", "models=resnet50",
         f"batch_size={batch_size}", f"num_classes={num_classes}",
         f"img_size={img_size}", "start_epoch=0", "tta=false",
@@ -56,6 +57,8 @@ def main():
     src_u = synthetic_source(max(u_batch * 4, 1792), num_classes=num_classes,
                              field_lengths=field_lengths,
                              image_size=img_size, labelled_frac=0.0, seed=1)
+    if cfg.algorithm_name == "SimMatch" and not cfg.K:
+        cfg.K = len(src_l)
     algo = get_algorithm(cfg.algorithm_name)(cfg, field_lengths)
     cache_l = DeviceCache(src_l).as_dict()
     cache_u = DeviceCache(src_u).as_dict()
