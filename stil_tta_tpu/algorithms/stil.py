@@ -192,6 +192,12 @@ class STiL:
     def __init__(self, cfg, field_lengths, dtype=jnp.bfloat16):
         self.cfg = cfg
         self.num_classes = int(cfg.num_classes)
+        if bool(getattr(cfg, "teacher_int8", False)) \
+                and str(cfg.model).startswith("vit"):
+            # the int8 eval conv path is ResNet-only; refuse rather
+            # than silently run the bf16 teacher under an int8 label
+            raise ValueError("teacher_int8 requires a ResNet image "
+                             "encoder (ViT unsupported)")
         self.net = STiLNet(
             encoder=cfg.model,
             field_lengths=tuple(int(x) for x in field_lengths),

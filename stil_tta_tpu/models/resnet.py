@@ -39,7 +39,12 @@ def resolve_act_store(act_store: Any = None) -> str:
     built (or a step is jitted) has no effect. Only meaningful under
     ``remat='branch'`` and ``train=True`` — see :func:`_conv_out`."""
     if act_store is not None:
-        return str(act_store)
+        act_store = str(act_store)
+        if act_store not in ("0", "fp8", "e4m3", "e5m2"):
+            raise ValueError(
+                f"act_store must be one of '0'/'fp8'/'e4m3'/'e5m2', "
+                f"got {act_store!r}")
+        return act_store
     import os
     env = os.environ.get("STIL_RESNET_ACT_STORE", "0")
     return env if env in ("fp8", "e4m3", "e5m2") else "0"
@@ -301,8 +306,16 @@ def quant_conv_apply(x, kernel, strides, padding, out_dtype,
     1.8-1.9x on bench-shaped convs, docs/BENCHMARKS.md round-5). Used
     by the ``int8`` eval forward (teacher/inference path only — never
     under training BN or autodiff; the quantization is a documented
-    numerics change gated by the convergence study)."""
-    kh, kw = kernel.shape[0], kernel.shape[1]
+    numerics change gated by the convergence study).
+
+    NOTE the activation scale is dynamic PER BATCH (amax over the whole
+    input tensor): a sample's quantized outputs depend on what it was
+    batched with, so int8 predictions are batch-composition-dependent
+    (bounded by the int8 rounding band, but not per-sample
+    reproducible across batch sizes), and an int8 teacher's
+    pseudo-labels couple weakly across the micro-chunk. Per-sample
+    scales would restore independence at the cost of a finer reduction;
+    not done while the lane is off-default."""
     wf = kernel.astype(jnp.float32)
     s_w = jnp.max(jnp.abs(wf), axis=(0, 1, 2), keepdims=True) / 127.0
     s_w = jnp.maximum(s_w, 1e-30)
@@ -348,12 +361,23 @@ def _dot1x1_mode():
     return os.environ.get("STIL_RESNET_DOT1X1", "0")
 
 
-def _maxpool_mode():
+def resolve_maxpool(maxpool_impl: Any = None) -> str:
     """``STIL_RESNET_MAXPOOL=custom``: routing-exact custom-VJP maxpool
     (ops/maxpool.py) instead of XLA reduce_window/select-and-scatter.
-    Off by default — measured negative at the bench shape (round 5)."""
+    Off by default — measured negative at the bench shape (round 5).
+    Resolved ONCE at model construction by :func:`image_encoder` (same
+    contract as :func:`resolve_act_store`); env changes after
+    construction have no effect."""
+    if maxpool_impl is not None:
+        maxpool_impl = str(maxpool_impl)
+        if maxpool_impl not in ("0", "custom"):
+            raise ValueError(
+                f"maxpool_impl must be '0' or 'custom', got "
+                f"{maxpool_impl!r}")
+        return maxpool_impl
     import os
-    return os.environ.get("STIL_RESNET_MAXPOOL", "0")
+    env = os.environ.get("STIL_RESNET_MAXPOOL", "0")
+    return env if env == "custom" else "0"
 
 
 def _conv(name, features, ksize, stride, padding, groups, dtype,
@@ -590,6 +614,10 @@ class ResNet(nn.Module):
     # configs, and f32/f64 runs are bit-identical regardless of the
     # setting. See _conv_out / resolve_act_store.
     act_store: str = "0"
+    # '0' (XLA reduce_window/select-and-scatter) | 'custom'
+    # (ops/maxpool.py routing-exact custom VJP — measured negative at
+    # the bench shape, round 5). See resolve_maxpool.
+    maxpool_impl: str = "0"
     dtype: Any = jnp.bfloat16
 
     # pad the stem too when min_channels is set (the stem's 64x64x64
@@ -626,7 +654,7 @@ class ResNet(nn.Module):
                     real_feat=stem_rf)(x)
         x0 = nn.relu(x)
         if self.maxpool1:
-            if _maxpool_mode() == "custom" and x0.shape[1] % 2 == 0 \
+            if self.maxpool_impl == "custom" and x0.shape[1] % 2 == 0 \
                     and x0.shape[2] % 2 == 0:
                 # routing-exact custom backward (ops/maxpool.py).
                 # MEASURED NEGATIVE at the bench shape (round 5:
@@ -824,4 +852,5 @@ def image_encoder(name: str, return_all_feature_maps: bool = False,
                            dtype=dtype, remat=remat, remat_stages=stages,
                            min_channels=resolve_min_channels(min_channels),
                            act_store=resolve_act_store(act_store),
+                           maxpool_impl=resolve_maxpool(),
                            pad_stem=pad_stem)

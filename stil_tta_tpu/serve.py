@@ -42,9 +42,13 @@ class Predictor:
                  int8: bool = False):
         """``int8``: dynamically-quantized image-tower convs (~2x MXU
         rate on v5e — models/resnet.py ``quant_conv_apply``) for nets
-        whose ``__call__`` exposes ``int8_image`` (STiL). A documented
-        inference numerics change (int8 rounding per conv); predictions
-        track the bf16 forward (tests/test_int8_teacher.py bounds)."""
+        whose ``__call__`` exposes ``int8_image`` (STiL, ResNet towers
+        only). A documented inference numerics change (int8 rounding
+        per conv); predictions track the bf16 forward
+        (tests/test_int8_teacher.py bounds). The activation scales are
+        per-BATCH amax, so a sample's int8 predictions can shift
+        within the rounding band depending on its batch partners /
+        ``batch_size`` — see quant_conv_apply's note."""
         self.algo = algo
         self.mesh = mesh
         if mesh is not None:
@@ -64,12 +68,16 @@ class Predictor:
         kw = {}
         if int8:
             import inspect
-            if "int8_image" in inspect.signature(
+            if "int8_image" not in inspect.signature(
                     type(net).__call__).parameters:
-                kw["int8_image"] = True
-            else:
                 raise ValueError(
                     f"int8 serving unsupported for {type(net).__name__}")
+            if str(getattr(net, "encoder", "")).startswith("vit"):
+                # DisCoBackbone.encode drops the flag for ViT towers;
+                # refuse rather than mislabel a bf16 run as int8
+                raise ValueError("int8 serving unsupported for ViT "
+                                 "image encoders")
+            kw["int8_image"] = True
 
         def fwd(params, batch_stats, images, tabular):
             imgs = aug(jax.random.key(0), images)

@@ -32,29 +32,31 @@ def _tied_input(shape, dtype, seed=0):
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64, jnp.bfloat16])
 @pytest.mark.parametrize("shape", [(2, 8, 8, 3), (3, 16, 12, 5),
                                    (1, 2, 2, 1), (2, 6, 16, 64)])
-def test_value_and_grad_routing_equal(dtype, shape, monkeypatch):
+def test_value_and_grad_routing_equal(dtype, shape):
+    x64_before = jax.config.jax_enable_x64
     if dtype == jnp.float64:
-        monkeypatch.setenv("JAX_ENABLE_X64", "1")
         jax.config.update("jax_enable_x64", True)
-    x = _tied_input(shape, dtype)
-    y0 = _ref_pool(x)
-    y1 = max_pool_3x3_s2(x)
-    np.testing.assert_array_equal(np.asarray(y0, np.float64),
-                                  np.asarray(y1, np.float64))
+    try:
+        x = _tied_input(shape, dtype)
+        y0 = _ref_pool(x)
+        y1 = max_pool_3x3_s2(x)
+        np.testing.assert_array_equal(np.asarray(y0, np.float64),
+                                      np.asarray(y1, np.float64))
 
-    # weight each output position differently so any routing difference
-    # changes the input gradient
-    w = jnp.asarray(
-        np.random.RandomState(1).randint(1, 7, size=y0.shape), dtype)
+        # weight each output position differently so any routing
+        # difference changes the input gradient
+        w = jnp.asarray(
+            np.random.RandomState(1).randint(1, 7, size=y0.shape), dtype)
 
-    g0 = jax.grad(lambda t: jnp.sum(
-        _ref_pool(t).astype(jnp.float32) * w.astype(jnp.float32)))(x)
-    g1 = jax.grad(lambda t: jnp.sum(
-        max_pool_3x3_s2(t).astype(jnp.float32) * w.astype(jnp.float32)))(x)
-    np.testing.assert_array_equal(np.asarray(g0, np.float64),
-                                  np.asarray(g1, np.float64))
-    if dtype == jnp.float64:
-        jax.config.update("jax_enable_x64", False)
+        g0 = jax.grad(lambda t: jnp.sum(
+            _ref_pool(t).astype(jnp.float32) * w.astype(jnp.float32)))(x)
+        g1 = jax.grad(lambda t: jnp.sum(
+            max_pool_3x3_s2(t).astype(jnp.float32)
+            * w.astype(jnp.float32)))(x)
+        np.testing.assert_array_equal(np.asarray(g0, np.float64),
+                                      np.asarray(g1, np.float64))
+    finally:
+        jax.config.update("jax_enable_x64", x64_before)
 
 
 def test_matches_under_jit_and_vmap():

@@ -37,19 +37,37 @@ def main():
     u_batch = batch_size - l_batch
     img_size = int(os.environ.get("STIL_BENCH_IMG", "128"))
     num_classes = int(os.environ.get("STIL_BENCH_CLASSES", "286"))
-    field_lengths = [20, 10, 5, 3] + [1] * 13
+    fields = os.environ.get("STIL_BENCH_FIELDS", "dvm")
+    if fields == "dvm":
+        field_lengths = [20, 10, 5, 3] + [1] * 13
+    elif fields == "cardiac":
+        field_lengths = [2] * 20 + [3, 4, 5, 6, 7, 8] + [1] * 49
+    else:
+        field_lengths = [int(x) for x in fields.split(",")]
+    model = os.environ.get("STIL_BENCH_MODEL", "resnet50")
     config_name = os.environ.get("STIL_BENCH_CONFIG", "config_dvm_STiL")
     cfg = load_config(config_name, overrides=[
-        "dataset=synthetic_dvm", "models=resnet50",
+        "dataset=synthetic_dvm", f"models={model}",
         f"batch_size={batch_size}", f"num_classes={num_classes}",
         f"img_size={img_size}", "start_epoch=0", "tta=false",
     ])
     cfg.field_lengths = field_lengths
     cfg.repeat_ratio = 1
-    cfg.micro_batches = int(os.environ.get("STIL_BENCH_MICRO", "4"))
+    # mirror bench.py's headline-profile defaults exactly (micro=4 +
+    # bf16 Adam mu for the DVM STiL config, gated on divisibility) so
+    # the trace profiles the same executable as the headline bench
+    default_micro = (4 if config_name == "config_dvm_STiL"
+                     and l_batch % 4 == 0 and u_batch % 4 == 0
+                     else (cfg.micro_batches or 1))
+    cfg.micro_batches = int(os.environ.get("STIL_BENCH_MICRO",
+                                           str(default_micro)))
     mu_env = os.environ.get("STIL_BENCH_MU_DTYPE")
     if mu_env:
-        cfg.adam_mu_dtype = mu_env
+        cfg.adam_mu_dtype = None if mu_env == "float32" else mu_env
+    elif cfg.micro_batches > 1 and config_name == "config_dvm_STiL":
+        cfg.adam_mu_dtype = "bfloat16"
+    if os.environ.get("STIL_BENCH_TEACHER_INT8"):
+        cfg.teacher_int8 = os.environ["STIL_BENCH_TEACHER_INT8"] != "0"
 
     src_l = synthetic_source(max(l_batch * 4, 256), num_classes=num_classes,
                              field_lengths=field_lengths,

@@ -75,6 +75,12 @@ def main():
                          "adam_mu_dtype=bfloat16")
     ap.add_argument("--out", default="/tmp/convergence_micro.json")
     args = ap.parse_args()
+    if args.fast_overrides and args.micro <= 1:
+        # run_one applies fast overrides to the micro>1 arm only; with
+        # --micro 1 both arms would be identical and the gate would
+        # trivially PASS without testing anything
+        ap.error("--fast-overrides requires --micro > 1 (the overrides "
+                 "apply to the fast arm only)")
 
     import numpy as np
 
