@@ -119,3 +119,37 @@ def test_strong_pipeline_runs_with_hue():
     out = p(jax.random.key(1), jnp.asarray(img))
     assert out.shape == (3, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dvm_pipelines_lower_with_zero_gathers():
+    """Regression lock for the round-5 Match-family rescue: per-element
+    XLA gathers under the per-sample vmap run on the TPU scalar slow
+    path (SimMatch measured 467 ms/step from three image-sized gathers
+    emitted by jnp.choose in the hue branch; reflect-pad and
+    constant-start dynamic_slice are the other latent sources —
+    docs/BENCHMARKS.md round-5). Every DVM augmentation recipe must
+    lower gather-free. Cardiac recipes are exempt: their rotation
+    (affine_warp) is bilinear gathers by construction, which XLA lowers
+    to the fast batched form."""
+    import re
+
+    import jax
+
+    from stil_tta_tpu.data.augment import (contrastive_pipeline,
+                                           default_pipeline,
+                                           hard_eval_pipeline,
+                                           strong_pipeline, weak_pipeline)
+
+    pipes = {
+        "contrastive": contrastive_pipeline(32, "dvm"),
+        "hard_eval": hard_eval_pipeline(32, "dvm"),
+        "weak": weak_pipeline(32, "dvm"),
+        "strong": strong_pipeline(32, "dvm"),
+        "default": default_pipeline(32, "dvm"),
+    }
+    x = jnp.zeros((4, 32, 32, 3), jnp.uint8)
+    for name, pipe in pipes.items():
+        txt = jax.jit(lambda k, im, p=pipe: p(k, im)).lower(
+            jax.random.key(0), x).as_text()
+        n = len(re.findall(r"stablehlo\.gather", txt))
+        assert n == 0, f"{name} pipeline lowers with {n} gather op(s)"
