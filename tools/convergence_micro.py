@@ -33,16 +33,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_one(micro: int, seed: int, epochs: int,
-            fast_overrides=()) -> dict:
+            fast_overrides=(), config="config_dvm_STiL") -> dict:
     """One driver run. ``fast_overrides`` (e.g.
     ``["teacher_int8=true", "adam_mu_dtype=bfloat16"]``) are applied to
     the FAST arm only (micro > 1), so the gate compares the full fast
-    profile against exact reference semantics."""
+    profile against exact reference semantics. ``config`` selects the
+    recipe (any top-level config; the driver wires family-specific
+    state like the SimMatch bank itself)."""
     from stil_tta_tpu.config import load_config
     from stil_tta_tpu.train.evaluate import evaluate
 
     extra = list(fast_overrides) if micro > 1 else []
-    cfg = load_config("config_dvm_STiL", overrides=extra + [
+    cfg = load_config(config, overrides=extra + [
         "dataset=synthetic_dvm", "models=resnet50",
         # reference DVM training shape: batch 512 = 64 l + 448 u,
         # 128x128; synthetic data scaled to 8 steps/epoch
@@ -54,10 +56,10 @@ def run_one(micro: int, seed: int, epochs: int,
         f"seed={seed}", f"micro_batches={micro}",
         "tta=false", "strict_prototypes=false", "test_and_eval=false",
         "save_checkpoints=false", "enable_progress_bar=false",
-        f"logdir=/tmp/conv_micro_{micro}_{seed}",
+        f"logdir=/tmp/conv_micro_{config}_{micro}_{seed}",
     ])
     res = evaluate(cfg)
-    return {"micro": micro, "seed": seed,
+    return {"micro": micro, "seed": seed, "config": config,
             "fast_overrides": extra, **{
                 k: float(v) for k, v in res.items()
                 if isinstance(v, (int, float))}}
@@ -73,6 +75,8 @@ def main():
                     help="extra config overrides applied to the fast "
                          "arm only, e.g. teacher_int8=true "
                          "adam_mu_dtype=bfloat16")
+    ap.add_argument("--config", default="config_dvm_STiL",
+                    help="recipe to gate (e.g. config_dvm_MultiSimMatch)")
     ap.add_argument("--out", default="/tmp/convergence_micro.json")
     args = ap.parse_args()
     if args.fast_overrides and args.micro <= 1:
@@ -87,7 +91,8 @@ def main():
     runs = []
     for seed in args.seeds:
         for m in (1, args.micro):
-            r = run_one(m, seed, args.epochs, args.fast_overrides)
+            r = run_one(m, seed, args.epochs, args.fast_overrides,
+                        args.config)
             print(json.dumps(r), flush=True)
             runs.append(r)
 
@@ -102,6 +107,7 @@ def main():
         "exact_mean": m1, "exact_std": s1, "exact_vals": v1,
         "micro_mean": mm, "micro_std": sm, "micro_vals": vm,
         "micro": args.micro, "epochs": args.epochs,
+        "config": args.config,
         "fast_overrides": args.fast_overrides,
         "delta": mm - m1, "pooled_std": pooled,
         "pass": bool((mm - m1) >= -max(pooled, 0.003)),
