@@ -26,6 +26,7 @@ from stil_tta_tpu.algorithms.base import ema_update
 from stil_tta_tpu.algorithms.match_common import MatchBase, MatchState
 from stil_tta_tpu.data.loader import gather_batch, marginal_table
 from stil_tta_tpu.losses import cross_entropy, soft_cross_entropy
+from stil_tta_tpu.ops.metrics import accuracy_update
 
 DA_WINDOW = 128  # comatch_model.py:281 (`len(self.hist_prob) > 128`)
 
@@ -219,4 +220,206 @@ class CoMatch(MatchBase):
                 acc_train=acc, acc_train_u=acc_u, log_sums=new_logs,
                 log_count=state.log_count + 1.0)
 
-        return jax.jit(step, donate_argnums=(0,))
+        m_micro = int(cfg.micro_batches or 1)
+
+        def step_micro(state: MatchState, cache_l, cache_u, idx_l, idx_u,
+                       epoch: jax.Array):
+            """Micro-batched CoMatch step (``micro_batches: m > 1``; OFF
+            by default pending a CoMatch-recipe convergence gate).
+
+            Documented divergences (docs/BENCHMARKS.md round-5 /
+            PARITY.md fast-profile entry):
+            - ghost BN on student AND momentum encoder (the reference
+              quirk keeps the momentum encoder in train-mode BN, so its
+              normalisation also sees B/m statistics),
+            - the pseudo-label and embedding GRAPHS couple in-batch
+              samples, so each chunk builds its graph over B_u/m
+              samples + the (frozen) queues — the chunked-in-batch-
+              negatives divergence class,
+            - DA: each chunk aligns with its own chunk mean in the
+              history slot; the committed slot is the mean of chunk
+              means; hist_len/ptr advance once per step.
+            Exact: the momentum lerp is params-only from pre-step
+            params (identical to monolithic), queue reads are frozen
+            within the step in the reference too, and both end-of-step
+            enqueues write the identical full-batch rows in order."""
+            rng, kl, ku, kd, kt = jax.random.split(state.rng, 5)
+            b_l, b_u = idx_l.shape[0], idx_u.shape[0]
+            assert b_l % m_micro == 0 and b_u % m_micro == 0, (
+                f"micro_batches={m_micro} must divide labeled ({b_l}) "
+                f"and unlabeled ({b_u}) batch sizes")
+            blc = b_l // m_micro
+            buc = b_u // m_micro
+            il = idx_l.reshape(m_micro, blc)
+            iu = idx_u.reshape(m_micro, buc)
+            kls = jax.random.split(kl, m_micro)
+            kus = jax.random.split(ku, m_micro)
+            kds = jax.random.split(kd, m_micro)
+            kts = jax.random.split(kt, m_micro)
+            marg_l = marginal_table(cache_l)
+            marg_u = marginal_table(cache_u)
+            params = state.params
+            ex = state.extra
+            ema_p, _ = ema_update(state.ema_params, params, momentum,
+                                  False, state.ema_batch_stats,
+                                  state.batch_stats)
+            ema_p = jax.lax.stop_gradient(ema_p)
+            ema_bs = state.ema_batch_stats
+
+            def body(carry, xs):
+                bstats, gacc, mean_acc, acc, acc_u, lacc = carry
+                il_c, iu_c, kl_c, ku_c, kd_c, kt_c = xs
+                bl = gather_batch(cache_l, il_c)
+                bu = gather_batch(cache_u, iu_c)
+                y_l, y_u = bl["labels"], bu["labels"]
+                img_x, tab_x = self.labeled_views(kl_c, bl["images"],
+                                                  bl["tabular"], marg_l)
+                (img_w, tab_w), (img_s0, tab_s0), (img_s1, tab_s1) = \
+                    self.weak_strong_views(ku_c, bu["images"],
+                                           bu["tabular"], marg_u,
+                                           two_strong=True)
+                logits_m, feats_m, _ = self.apply_student(
+                    ema_p, ema_bs,
+                    jnp.concatenate([img_x, img_w, img_s1]),
+                    jnp.concatenate([tab_x, tab_w, tab_s1]), kt_c)
+                logits_m = jax.lax.stop_gradient(logits_m)
+                feats_m = jax.lax.stop_gradient(feats_m)
+                outputs_uw = logits_m[blc:blc + buc]
+                feature_uw = feats_m[blc:blc + buc]
+                feature_xuw = feats_m[:blc + buc]
+                features_us1 = feats_m[blc + buc:]
+
+                probs = jax.nn.softmax(outputs_uw, axis=1)
+                chunk_mean = jnp.mean(probs, axis=0)
+                hist_c = ex["hist_prob"].at[ex["hist_ptr"]].set(
+                    chunk_mean)
+                hist_len_c = jnp.minimum(ex["hist_len"] + 1, DA_WINDOW)
+                probs_avg = (jnp.sum(hist_c, axis=0)
+                             / hist_len_c.astype(jnp.float32))
+                probs = probs / jnp.clip(probs_avg, 1e-12)
+                probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+                probs_orig = probs
+                a = jnp.exp((feature_uw @ ex["queue_w"]) / temp)
+                a = a / jnp.clip(jnp.sum(a, axis=1, keepdims=True),
+                                 1e-12)
+                smoothed = (alpha * probs
+                            + (1 - alpha) * (a @ ex["probs_xu"].T))
+                probs = jnp.where(epoch > start_epoch, smoothed, probs)
+                q_self = probs @ probs.T
+                q_self = q_self * (1 - jnp.eye(buc)) + jnp.eye(buc)
+                q_past = probs @ ex["probs_u"]
+                q = jnp.concatenate([q_self, q_past], axis=1)
+                mask = (jnp.max(probs, axis=1) >= thr) \
+                    .astype(jnp.float32)
+
+                def loss_fn(p):
+                    logits, feats, new_stats = self.apply_student(
+                        p, bstats, jnp.concatenate([img_x, img_s0]),
+                        jnp.concatenate([tab_x, tab_s0]), kd_c)
+                    outputs_x, outputs_us0 = logits[:blc], logits[blc:]
+                    features_us0 = feats[blc:]
+                    loss_x = cross_entropy(outputs_x, y_l)
+                    loss_u = jnp.mean(soft_cross_entropy(
+                        outputs_us0, probs, "none") * mask)
+                    sim_self = jnp.exp(
+                        (features_us0 @ features_us1.T) / temp)
+                    sim_past = jnp.exp(
+                        (features_us0 @ ex["queue_s"]) / temp)
+                    sim = jnp.concatenate([sim_self, sim_past], axis=1)
+                    pos_mask = (q >= contrast_th).astype(jnp.float32)
+                    q_mask = q * pos_mask
+                    q_mask = q_mask / jnp.clip(
+                        jnp.sum(q_mask, axis=1, keepdims=True), 1e-12)
+                    pos_probs = (sim * pos_mask) / jnp.clip(
+                        jnp.sum(sim, axis=1, keepdims=True), 1e-12)
+                    log_probs = jnp.log(pos_probs + 1e-7) * pos_mask
+                    loss_contrast = jnp.mean(
+                        -jnp.sum(log_probs * q_mask, axis=1))
+                    lam_c = jnp.minimum(
+                        epoch.astype(jnp.float32) + 1.0, lam_c_max)
+                    gate = (epoch > start_epoch).astype(jnp.float32)
+                    total = loss_x + gate * (lam_u * loss_u
+                                             + lam_c * loss_contrast)
+                    logs = {"loss": total, "loss_x": loss_x,
+                            "loss_u": loss_u,
+                            "loss_contrast": loss_contrast,
+                            "threshold1_ratio": jnp.mean(mask)}
+                    return total, (new_stats, logits[:blc],
+                                   logits[blc:], logs)
+
+                grads, (new_bstats, outputs_x, outputs_us0, logs) = \
+                    jax.grad(loss_fn, has_aux=True)(params)
+                gacc = jax.tree_util.tree_map(
+                    lambda ag, g: ag + g.astype(ag.dtype), gacc, grads)
+                mean_acc = mean_acc + chunk_mean
+                prob_x = jax.nn.softmax(outputs_x, axis=1)
+                prob_u = jax.nn.softmax(outputs_us0, axis=1)
+                px = prob_x[:, 1] if binary else prob_x
+                pu = prob_u[:, 1] if binary else prob_u
+                acc = accuracy_update(acc, px, y_l)
+                acc_u = accuracy_update(acc_u, pu, y_u)
+                lacc = {k: lacc[k] + logs[k] for k in lacc}
+                return ((new_bstats, gacc, mean_acc, acc, acc_u, lacc),
+                        (features_us1, feature_xuw, probs, probs_orig))
+
+            zero_g = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, p.dtype), params)
+            carry0 = (state.batch_stats, zero_g,
+                      jnp.zeros((c,), jnp.float32),
+                      state.acc_train, state.acc_train_u,
+                      {k: jnp.zeros((), jnp.float32)
+                       for k in self.LOG_KEYS})
+            ((new_stats, gacc, mean_acc, acc, acc_u, lacc),
+             (f_us1, f_xuw, probs_all, probs_orig_all)) = jax.lax.scan(
+                body, carry0, (il, iu, kls, kus, kds, kts))
+
+            grads = jax.tree_util.tree_map(lambda g: g / m_micro, gacc)
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), params, updates)
+
+            # DA history commit: one slot per step, mean of chunk means
+            hist = ex["hist_prob"].at[ex["hist_ptr"]].set(
+                mean_acc / m_micro)
+            hist_len = jnp.minimum(ex["hist_len"] + 1, DA_WINDOW)
+            hist_ptr = (ex["hist_ptr"] + 1) % DA_WINDOW
+
+            # queue updates with the full-batch rows in the monolithic
+            # order: f_xuw stacks per-chunk [x_chunk, u_chunk] blocks,
+            # so split and regroup to [all labeled, all unlabeled]
+            # before pairing with [onehot, probs_orig]
+            dim = f_us1.shape[-1]
+            f_us1 = f_us1.reshape(b_u, dim)
+            f_x = f_xuw[:, :blc].reshape(b_l, dim)
+            f_u = f_xuw[:, blc:].reshape(b_u, dim)
+            f_xuw = jnp.concatenate([f_x, f_u], axis=0)
+            probs_all = probs_all.reshape(b_u, c)
+            probs_orig_all = probs_orig_all.reshape(b_u, c)
+            queue_s, probs_u, ptr_s = self._enqueue(
+                ex["queue_s"], ex["probs_u"], ex["ptr_s"], f_us1,
+                probs_all)
+            y_l_all = gather_batch(cache_l, idx_l)["labels"]
+            onehot = jax.nn.one_hot(y_l_all, c, dtype=jnp.float32)
+            probs_xu_new = jnp.concatenate([onehot, probs_orig_all],
+                                           axis=0)
+            queue_w, probs_xu, ptr_w = self._enqueue(
+                ex["queue_w"], ex["probs_xu"], ex["ptr_w"], f_xuw,
+                probs_xu_new)
+
+            new_logs = {k: state.log_sums[k] + lacc[k] / m_micro
+                        for k in state.log_sums}
+            return dataclasses.replace(
+                state, params=new_params, batch_stats=new_stats,
+                opt_state=new_opt, ema_params=ema_p,
+                ema_batch_stats=ema_bs, rng=rng, step=state.step + 1,
+                extra={"queue_s": queue_s, "probs_u": probs_u,
+                       "queue_w": queue_w, "probs_xu": probs_xu,
+                       "ptr_s": ptr_s, "ptr_w": ptr_w,
+                       "hist_prob": hist, "hist_len": hist_len,
+                       "hist_ptr": hist_ptr},
+                acc_train=acc, acc_train_u=acc_u, log_sums=new_logs,
+                log_count=state.log_count + 1.0)
+
+        return jax.jit(step if m_micro == 1 else step_micro,
+                       donate_argnums=(0,))
