@@ -89,7 +89,13 @@ def main():
     # reproduces the exact-numerics profile that all parity/trajectory
     # tests pin (f32 moments included); non-default configs keep their
     # config-file profile (exact unless the config opts in).
-    default_micro = (4 if config_name == "config_dvm_STiL"
+    # Gated fast-profile configs: STiL (round-4 gate +1.04pt; round-5
+    # combined with bf16 mu +0.91pt) and SimMatch (round-5 gate
+    # +3.5pt, tools/convergence_micro.py --config
+    # config_dvm_MultiSimMatch). Other configs keep their file profile.
+    _MICRO_DEFAULT = ("config_dvm_STiL", "config_dvm_SimMatch",
+                      "config_dvm_MultiSimMatch")
+    default_micro = (4 if config_name in _MICRO_DEFAULT
                      and l_batch % 4 == 0 and u_batch % 4 == 0
                      else (cfg.micro_batches or 1))
     cfg.micro_batches = int(os.environ.get("STIL_BENCH_MICRO",
