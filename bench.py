@@ -89,12 +89,14 @@ def main():
     # reproduces the exact-numerics profile that all parity/trajectory
     # tests pin (f32 moments included); non-default configs keep their
     # config-file profile (exact unless the config opts in).
-    # Gated fast-profile configs: STiL (round-4 gate +1.04pt; round-5
-    # combined with bf16 mu +0.91pt) and SimMatch (round-5 gate
-    # +3.5pt, tools/convergence_micro.py --config
-    # config_dvm_MultiSimMatch). Other configs keep their file profile.
+    # Gated fast-profile configs (each passed its own 3-seed
+    # convergence gate, tools/convergence_micro.py --config ...):
+    # STiL (round-4 +1.04pt; round-5 combined with bf16 mu +0.91pt),
+    # SimMatch (round-5 +3.5pt), CoMatch (round-5 +2.3pt). Other
+    # configs keep their file profile.
     _MICRO_DEFAULT = ("config_dvm_STiL", "config_dvm_SimMatch",
-                      "config_dvm_MultiSimMatch")
+                      "config_dvm_MultiSimMatch",
+                      "config_dvm_CoMatch", "config_dvm_MultiCoMatch")
     default_micro = (4 if config_name in _MICRO_DEFAULT
                      and l_batch % 4 == 0 and u_batch % 4 == 0
                      else (cfg.micro_batches or 1))
