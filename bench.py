@@ -89,14 +89,15 @@ def main():
     # reproduces the exact-numerics profile that all parity/trajectory
     # tests pin (f32 moments included); non-default configs keep their
     # config-file profile (exact unless the config opts in).
-    # Gated fast-profile configs (each passed its own 3-seed
-    # convergence gate, tools/convergence_micro.py --config ...):
-    # STiL (round-4 +1.04pt; round-5 combined with bf16 mu +0.91pt),
-    # SimMatch (round-5 +3.5pt), CoMatch (round-5 +2.3pt). Other
-    # configs keep their file profile.
-    _MICRO_DEFAULT = ("config_dvm_STiL", "config_dvm_SimMatch",
-                      "config_dvm_MultiSimMatch",
-                      "config_dvm_CoMatch", "config_dvm_MultiCoMatch")
+    # Gated fast-profile configs — ONLY the exact recipes whose 3-seed
+    # convergence gates ran (tools/convergence_micro.py --config ...):
+    # config_dvm_STiL (round-4 +1.04pt; round-5 combined with bf16 mu
+    # +0.91pt), config_dvm_MultiSimMatch (round-5 +3.5pt),
+    # config_dvm_MultiCoMatch (round-5 +2.3pt). The imaging-only
+    # SimMatch/CoMatch recipes differ (eval_datatype, thresholds) and
+    # keep their file profile until gated themselves.
+    _MICRO_DEFAULT = ("config_dvm_STiL", "config_dvm_MultiSimMatch",
+                      "config_dvm_MultiCoMatch")
     default_micro = (4 if config_name in _MICRO_DEFAULT
                      and l_batch % 4 == 0 and u_batch % 4 == 0
                      else (cfg.micro_batches or 1))

@@ -135,10 +135,17 @@ class CoTrain(MMatch):
                        epoch: jax.Array):
             """Micro-batched Co-Training step (``micro_batches: m > 1``;
             OFF by default pending its convergence gate). No banks or
-            DA here — the only divergences are ghost BN and the
-            pre-step EMAN lerp (from pre-forward running stats); the
-            cross-modal pseudo-labels and masks are per-sample and
-            decompose exactly. Inherited by CoTrain_Pseudo_SAINT."""
+            DA here — for the transformer backbone the only divergences
+            are ghost BN and the pre-step EMAN lerp (from pre-forward
+            running stats); the cross-modal pseudo-labels and masks are
+            per-sample and decompose exactly.
+
+            CoTrain_Pseudo_SAINT inherits this step, but NOTE its
+            SAINT encoder's intersample (colrow) attention couples the
+            batch axis: under chunking each row attends over B/m
+            samples instead of B — an ADDITIONAL divergence of the
+            chunked-in-batch-coupling class (same as CoMatch's graphs).
+            Gate the SAINT variant separately before adopting."""
             rng, kl, ku, kd = jax.random.split(state.rng, 4)
             b_l, b_u = idx_l.shape[0], idx_u.shape[0]
             assert b_l % m_micro == 0 and b_u % m_micro == 0, (

@@ -1,17 +1,18 @@
 """Micro-batched FreeMatch step (``micro_batches: m`` —
 freematch.py step_micro; OFF by default pending its convergence gate).
 
-Divergences: ghost BN, pre-step EMAN lerp, per-chunk masks from
-chunk-lerped scalars. Exact and tested here:
+Divergences: ghost BN, pre-step EMAN lerp (pre- vs post-forward
+running stats), per-chunk masks from chunk-lerped scalars, and
+mode-dependent per-sample augmentations (the chunked key split draws
+different views). Tested here:
 
 - identical state tree to the single-batch step,
 - counters advance once per FULL batch,
-- the committed self-adaptive EMA scalars use FULL-batch statistics:
-  time_p and p_model from the mean of equal-size chunk means (= the
-  batch mean up to reassociation) and label_hist from accumulated raw
-  counts normalized once — asserted close to the single-batch values
-  after one step at f32 tolerance (teacher forwards are identical:
-  same EMA weights, eval-mode BN, same per-sample views),
+- the committed self-adaptive EMA scalars stay within the m=0.999
+  damping bound of the single-batch values (|delta| <= (1-m)*O(1) per
+  step — a bound, not an equality: the two modes see different views,
+  so their batch statistics legitimately differ) and remain valid
+  statistics (p_model/label_hist normalized, time_p in [0, 1]),
 - parameters after one step agree with single-batch at update scale.
 """
 
@@ -59,17 +60,27 @@ def test_micro_state_tree_counters_and_scalars():
     assert int(s2.acc_train.total) == int(s1.acc_train.total) == 8
 
 
-def test_micro_committed_scalars_match_single_batch():
-    # one step from identical init: both modes run the SAME teacher
-    # forward per sample (pre-step EMA == init params in both since
-    # the lerp precedes any optimizer update), so the committed
-    # full-batch scalar updates must agree to f32 reassociation
+def test_micro_committed_scalars_bounded_and_valid():
+    # the committed scalars are 0.999*old + 0.001*batch_stat; the two
+    # modes draw different augmented views, so only the damping BOUND
+    # holds cross-mode (|delta| <= (1-m)*O(1)). A broken commit (e.g.
+    # missing the /m or the hist normalisation) breaks the validity
+    # invariants below instead.
     s1, _ = _run(1, steps=1)
     s2, _ = _run(2, steps=1)
     for k in ("time_p", "p_model", "label_hist"):
         np.testing.assert_allclose(
             np.asarray(s1.extra[k]), np.asarray(s2.extra[k]),
-            rtol=2e-2, atol=2e-3, err_msg=k)
+            atol=2e-3, err_msg=k)
+    for s in (s1, s2):
+        # p_model/label_hist remain distributions; time_p a probability
+        np.testing.assert_allclose(
+            float(np.asarray(s.extra["p_model"]).sum()), 1.0, atol=1e-3)
+        np.testing.assert_allclose(
+            float(np.asarray(s.extra["label_hist"]).sum()), 1.0,
+            atol=1e-3)
+        tp = float(s.extra["time_p"])
+        assert 0.0 <= tp <= 1.0, tp
 
 
 def test_micro_params_match_single_batch_at_update_scale():
