@@ -21,8 +21,14 @@ per-chunk DA alignment. Exact and tested here:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.helpers import tiny_cfg, tiny_data
+
+# heaviest of the micro decomposability suites (two jitted step variants
+# x two step counts) — slow tier; the fast tier keeps the lighter
+# freematch/mmatch/cotrain micro files
+pytestmark = pytest.mark.slow
 
 
 def _run(micro, steps=2):
